@@ -1,0 +1,175 @@
+"""Model configurations for the TPU-native BiRefNet framework.
+
+Mirrors the configuration surface of the reference implementation
+(reference: src/swin.rs:14-88, src/birefnet.rs:13-67, src/decoder.rs:11-24)
+as frozen dataclasses with the same presets and derived channel math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    """Swin Transformer backbone hyperparameters (reference: src/swin.rs:14-88)."""
+
+    embed_dim: int = 192
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (6, 12, 24, 48)
+    window_size: int = 12
+    mlp_ratio: float = 4.0
+    patch_size: int = 4
+    in_channels: int = 3
+    # Present in the reference config but unused at inference
+    # (reference: src/swin.rs:22 — drop_path_rate never read in forward).
+    drop_path_rate: float = 0.2
+
+    @staticmethod
+    def swin_t() -> "SwinConfig":
+        """Swin-T preset (reference: src/swin.rs:27-38)."""
+        return SwinConfig(
+            embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+            window_size=7)
+
+    @staticmethod
+    def swin_s() -> "SwinConfig":
+        """Swin-S preset (reference: src/swin.rs:41-52)."""
+        return SwinConfig(
+            embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24),
+            window_size=7)
+
+    @staticmethod
+    def swin_b() -> "SwinConfig":
+        """Swin-B preset (reference: src/swin.rs:55-66)."""
+        return SwinConfig(
+            embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+            window_size=12)
+
+    @staticmethod
+    def swin_l() -> "SwinConfig":
+        """Swin-L preset, used by BiRefNet (reference: src/swin.rs:69-80)."""
+        return SwinConfig()
+
+    def stage_channels(self) -> Tuple[int, ...]:
+        """Per-stage output channels: embed_dim * 2^i (reference: src/swin.rs:83-88)."""
+        return tuple(self.embed_dim * (1 << i) for i in range(len(self.depths)))
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Decoder block configuration (reference: src/decoder.rs:11-24)."""
+
+    use_aspp_deformable: bool = True
+    # BiRefNet uses fixed 64 inter channels (reference: src/decoder.rs:21,93-97).
+    inter_channels_adaptive: bool = False
+
+    def inter_channels(self, in_channels: int) -> int:
+        return in_channels // 4 if self.inter_channels_adaptive else 64
+
+
+@dataclasses.dataclass(frozen=True)
+class BiRefNetConfig:
+    """Top-level BiRefNet configuration (reference: src/birefnet.rs:13-67)."""
+
+    size: Tuple[int, int] = (1024, 1024)
+    backbone: str = "swin_v1_l"
+    backbone_channels: Tuple[int, ...] = (192, 384, 768, 1536)
+    mul_scl_ipt: bool = True
+    ms_supervision: bool = True
+    dec_ipt: bool = True
+    use_aspp_deformable: bool = True
+    cxt: Tuple[int, ...] = (192, 384, 768)
+
+    @staticmethod
+    def swin_l() -> "BiRefNetConfig":
+        """Preset matching the pretrained ZhengPeng7/BiRefNet weights
+        (reference: src/birefnet.rs:64-66)."""
+        return BiRefNetConfig()
+
+    def swin_config(self) -> SwinConfig:
+        # The reference always instantiates swin_l (reference: src/birefnet.rs:391).
+        return SwinConfig.swin_l()
+
+    def lateral_channels(self) -> Tuple[int, ...]:
+        """Effective channels after mul_scl_ipt doubling
+        (reference: src/birefnet.rs:50-53)."""
+        mult = 2 if self.mul_scl_ipt else 1
+        return tuple(c * mult for c in self.backbone_channels)
+
+    def x4_channels(self) -> int:
+        """Squeeze input channels including cxt concat
+        (reference: src/birefnet.rs:56-61). Swin-L: 3072 + 2*(192+384+768) = 5760."""
+        mult = 2 if self.mul_scl_ipt else 1
+        return self.backbone_channels[3] * mult + sum(c * mult for c in self.cxt)
+
+    # ---- Decoder channel plan (reference: src/birefnet.rs:176-238) ----
+
+    def ipt_out_channels(self) -> Tuple[int, ...]:
+        """ipt_blk1..5 output channels."""
+        return (48, 96, 192, 384, 384)
+
+    def ipt_in_channels(self) -> Tuple[int, ...]:
+        """ipt_blk1..5 input channels (reference: src/birefnet.rs:182-193)."""
+        lat = self.lateral_channels()
+        ipt_out = self.ipt_out_channels()
+        return (3, ipt_out[0], lat[0] // 2, lat[2] // 2, lat[3])
+
+    def dec_out_channels(self) -> Tuple[int, ...]:
+        """decoder_block4..1 output channels (reference: src/birefnet.rs:202)."""
+        lat = self.lateral_channels()
+        return (lat[2], lat[1], lat[0], lat[0] // 2)
+
+    def dec_in_channels(self) -> Tuple[int, ...]:
+        """decoder_block4..1 input channels (reference: src/birefnet.rs:204-207)."""
+        lat = self.lateral_channels()
+        ipt_out = self.ipt_out_channels()
+        dec_out = self.dec_out_channels()
+        return (
+            lat[3] + ipt_out[4],
+            dec_out[0] + ipt_out[3],
+            dec_out[1] + ipt_out[2],
+            dec_out[2] + ipt_out[1],
+        )
+
+    def final_channels(self) -> int:
+        """conv_out1 input channels = dec_out[3] + ipt_out[0]
+        (reference: src/birefnet.rs:237)."""
+        return self.dec_out_channels()[3] + self.ipt_out_channels()[0]
+
+    def decoder_config(self) -> DecoderConfig:
+        return DecoderConfig(
+            use_aspp_deformable=self.use_aspp_deformable,
+            inter_channels_adaptive=False,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ComputeConfig:
+    """Runtime compute policy — the TPU analog of the reference's cargo feature
+    flags `metal` / `flash-attn` and the DISABLE_FLASH_ATTN env kill-switch
+    (reference: Cargo.toml:23-27, src/swin.rs:228).
+
+    Unlike the reference's CPU path, the fallback (non-Pallas) deformable conv
+    here is a *faithful* XLA-gather implementation, never a silent regular conv
+    (the reference CPU fallback is wrong-by-design; reference: src/aspp.rs:183-185).
+    """
+
+    # Activation compute dtype. Params are kept in float32; matmuls/convs run in
+    # `dtype` with float32 accumulation.
+    dtype: jnp.dtype = jnp.float32
+    # Use the fused Pallas flash window-attention kernel (N2) when available.
+    use_flash_attention: bool = False
+    # Use the Pallas deformable-sampling kernel (N1) when available.
+    use_pallas_deform: bool = False
+
+    def with_overrides(self, **kw) -> "ComputeConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ImageNet normalization constants (reference: examples/infer_image.rs:53-54).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)

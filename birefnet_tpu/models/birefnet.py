@@ -1,0 +1,113 @@
+"""BiRefNet model assembly (TPU-native, functional, NHWC).
+
+Behavioral counterpart of reference src/birefnet.rs:380-477: backbone +
+mul_scl_ipt double-resolution pass + cxt concat + squeeze module + decoder.
+
+The public contract matches the reference: `forward_logits` maps a normalized
+image to single-channel logits; `forward` applies sigmoid
+(reference: src/birefnet.rs:412-469). The canonical NCHW (1, 3, 1024, 1024)
+f32 -> (1, 1, 1024, 1024) surface is provided by `forward_logits_nchw`.
+
+The whole forward (including both backbone passes at two static resolutions)
+is a single pure function, jittable end to end.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import BiRefNetConfig, ComputeConfig
+from ..ops import layers as L
+from ..ops.resize import resize_bilinear_align_corners
+from .decoder import basic_dec_blk_forward, decoder_forward
+from .swin import swin_forward
+
+
+def squeeze_module_forward(params, x: jax.Array, compute: ComputeConfig) -> jax.Array:
+    """Vec of BasicDecBlk; Swin-L config has one 5760->3072 block
+    (reference: src/birefnet.rs:86-94)."""
+    i = 0
+    while f"blocks_{i}" in params:
+        x = basic_dec_blk_forward(params[f"blocks_{i}"], x, compute)
+        i += 1
+    return x
+
+
+def forward_logits(
+    params,
+    cfg: BiRefNetConfig,
+    x: jax.Array,
+    compute: ComputeConfig = ComputeConfig(),
+) -> jax.Array:
+    """NHWC forward to logits (reference: src/birefnet.rs:412-461).
+
+    Args:
+      x: [B, H, W, 3] normalized image, H and W divisible by 64.
+    Returns:
+      [B, H, W, 1] logits.
+    """
+    b, h, w, _ = x.shape
+    if h % 32 or w % 32:
+        raise ValueError(
+            f"BiRefNet input H and W must be divisible by 32 (the decoder's "
+            f"image2patches grid, reference: src/birefnet.rs:288-317); "
+            f"got {h}x{w}. Resize first (see pipeline.preprocess).")
+    swin_cfg = cfg.swin_config()
+
+    feats = swin_forward(params["bb"], swin_cfg, x, compute)
+    x1, x2, x3, x4 = feats
+
+    if cfg.mul_scl_ipt:
+        # Half-scale second backbone pass (reference: src/birefnet.rs:423-443).
+        x_half = resize_bilinear_align_corners(x, h // 2, w // 2)
+        feats_half = swin_forward(params["bb"], swin_cfg, x_half, compute)
+        ups = [
+            resize_bilinear_align_corners(fh, f.shape[1], f.shape[2])
+            for f, fh in zip(feats, feats_half)
+        ]
+        x1 = jnp.concatenate([x1, ups[0]], axis=-1)
+        x2 = jnp.concatenate([x2, ups[1]], axis=-1)
+        x3 = jnp.concatenate([x3, ups[2]], axis=-1)
+        x4 = jnp.concatenate([x4, ups[3]], axis=-1)
+
+    if cfg.cxt:
+        # Context concat in order [x1, x2, x3, x4]
+        # (reference: src/birefnet.rs:447-454).
+        h4, w4 = x4.shape[1:3]
+        x4 = jnp.concatenate(
+            [
+                resize_bilinear_align_corners(x1, h4, w4),
+                resize_bilinear_align_corners(x2, h4, w4),
+                resize_bilinear_align_corners(x3, h4, w4),
+                x4,
+            ],
+            axis=-1,
+        )
+
+    x4 = squeeze_module_forward(params["squeeze_module"], x4, compute)
+    return decoder_forward(params["decoder"], cfg, x, x1, x2, x3, x4, compute)
+
+
+def forward(
+    params,
+    cfg: BiRefNetConfig,
+    x: jax.Array,
+    compute: ComputeConfig = ComputeConfig(),
+) -> jax.Array:
+    """Sigmoid mask forward (reference: src/birefnet.rs:466-469)."""
+    return L.sigmoid(forward_logits(params, cfg, x, compute))
+
+
+def forward_logits_nchw(
+    params,
+    cfg: BiRefNetConfig,
+    x: jax.Array,
+    compute: ComputeConfig = ComputeConfig(),
+) -> jax.Array:
+    """Reference-parity NCHW surface: (B, 3, H, W) -> (B, 1, H, W)
+    (reference I/O contract, src/birefnet.rs:412)."""
+    y = forward_logits(params, cfg, x.transpose(0, 2, 3, 1), compute)
+    return y.transpose(0, 3, 1, 2)

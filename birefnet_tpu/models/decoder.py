@@ -1,0 +1,160 @@
+"""BiRefNet decoder blocks and full decoder (TPU-native, functional, NHWC).
+
+Behavioral counterpart of reference src/decoder.rs (SimpleConvs, BasicLatBlk,
+BasicDecBlk, ResBlk) and the full BiRefNetDecoder of src/birefnet.rs:121-377,
+including the GDT attention gates and the image2patches input pyramid.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import BiRefNetConfig, ComputeConfig, DecoderConfig
+from ..ops import layers as L
+from ..ops.resize import resize_bilinear_align_corners
+from .aspp import aspp_deformable_forward
+
+
+def simple_convs_forward(params, x: jax.Array) -> jax.Array:
+    """conv3x3 -> conv3x3, NO activation between
+    (reference: src/decoder.rs:50-56)."""
+    x = L.conv2d(params["conv1"], x, padding=1)
+    return L.conv2d(params["conv_out"], x, padding=1)
+
+
+def basic_lat_blk_forward(params, x: jax.Array) -> jax.Array:
+    """1x1 conv lateral projection (reference: src/decoder.rs:70-74)."""
+    return L.conv2d(params["conv"], x)
+
+
+def basic_dec_blk_forward(
+    params, x: jax.Array, compute: ComputeConfig,
+    use_aspp_deformable: bool = True,
+) -> jax.Array:
+    """conv_in -> BN -> ReLU -> [ASPPDeformable] -> conv_out -> BN, no final
+    ReLU (reference: src/decoder.rs:126-141)."""
+    x = L.conv2d(params["conv_in"], x, padding=1)
+    x = L.batch_norm_inference(params["bn_in"], x)
+    x = L.relu(x)
+    if use_aspp_deformable:
+        x = aspp_deformable_forward(params["dec_att"], x, compute)
+    x = L.conv2d(params["conv_out"], x, padding=1)
+    return L.batch_norm_inference(params["bn_out"], x)
+
+
+def res_blk_forward(
+    params, x: jax.Array, compute: ComputeConfig,
+    use_aspp_deformable: bool = True,
+) -> jax.Array:
+    """BasicDecBlk + 1x1 residual conv (reference: src/decoder.rs:198-217).
+
+    Unused by the Swin-L BiRefNet graph but part of the component inventory
+    (other BiRefNet variants use it).
+    """
+    resi = L.conv2d(params["conv_resi"], x)
+    x = L.conv2d(params["conv_in"], x, padding=1)
+    x = L.batch_norm_inference(params["bn_in"], x)
+    x = L.relu(x)
+    if use_aspp_deformable:
+        x = aspp_deformable_forward(params["dec_att"], x, compute)
+    x = L.conv2d(params["conv_out"], x, padding=1)
+    x = L.batch_norm_inference(params["bn_out"], x)
+    return x + resi
+
+
+def gdt_convs_forward(params, x: jax.Array) -> jax.Array:
+    """conv3x3(in->16) -> BN -> ReLU (reference: src/birefnet.rs:111-118)."""
+    x = L.conv2d(params["conv"], x, padding=1)
+    x = L.batch_norm_inference(params["bn"], x)
+    return L.relu(x)
+
+
+def image2patches(x: jax.Array, target_h: int, target_w: int) -> jax.Array:
+    """Space-to-channel rearrange on NHWC input
+    (reference: src/birefnet.rs:288-300).
+
+    [B, gh*th, gw*tw, C] -> [B, th, tw, C*gh*gw] with output channel index
+    (c*gh + i)*gw + j, matching the reference's NCHW channel ordering so the
+    ipt_blk conv weights line up.
+    """
+    b, h, w, c = x.shape
+    gh, gw = h // target_h, w // target_w
+    x = x.reshape(b, gh, target_h, gw, target_w, c)
+    x = x.transpose(0, 2, 4, 5, 1, 3)  # [B, th, tw, C, gh, gw]
+    return x.reshape(b, target_h, target_w, c * gh * gw)
+
+
+def decoder_forward(
+    params,
+    cfg: BiRefNetConfig,
+    x: jax.Array,
+    x1: jax.Array,
+    x2: jax.Array,
+    x3: jax.Array,
+    x4: jax.Array,
+    compute: ComputeConfig,
+) -> jax.Array:
+    """Full decoder (reference: src/birefnet.rs:278-376).
+
+    Args are NHWC: x the input image, x1..x3 the (doubled) backbone features,
+    x4 the squeezed deep feature.
+    Returns [B, H, W, 1] logits.
+    """
+    b, h, w, _ = x.shape
+    h1, w1 = x1.shape[1:3]
+    h2, w2 = x2.shape[1:3]
+    h3, w3 = x3.shape[1:3]
+
+    # Input patch pyramid (reference: src/birefnet.rs:304-320).
+    ipt5 = simple_convs_forward(params["ipt_blk5"], image2patches(x, h // 32, w // 32))
+    ipt4 = simple_convs_forward(params["ipt_blk4"], image2patches(x, h // 16, w // 16))
+    ipt3 = simple_convs_forward(params["ipt_blk3"], image2patches(x, h // 8, w // 8))
+    ipt2 = simple_convs_forward(params["ipt_blk2"], image2patches(x, h // 4, w // 4))
+    ipt1 = simple_convs_forward(params["ipt_blk1"], x)
+
+    def gdt_gate(p, stage: str) -> jax.Array:
+        """p * sigmoid(conv1x1(GdtConvs(p))) (reference: src/birefnet.rs:327-329)."""
+        g = gdt_convs_forward(params[f"gdt_convs_{stage}"], p)
+        attn = L.sigmoid(L.conv2d(params[f"gdt_convs_attn_{stage}"], g))
+        return p * attn
+
+    # Stage 4 (reference: src/birefnet.rs:322-334).
+    p4 = basic_dec_blk_forward(
+        params["decoder_block4"], jnp.concatenate([x4, ipt5], axis=-1), compute,
+        cfg.use_aspp_deformable)
+    p4 = gdt_gate(p4, "4")
+    p3_in = (resize_bilinear_align_corners(p4, h3, w3)
+             + basic_lat_blk_forward(params["lateral_block4"], x3))
+
+    # Stage 3 (reference: src/birefnet.rs:336-349).
+    ipt4_up = resize_bilinear_align_corners(ipt4, h3, w3)
+    p3 = basic_dec_blk_forward(
+        params["decoder_block3"], jnp.concatenate([p3_in, ipt4_up], axis=-1),
+        compute, cfg.use_aspp_deformable)
+    p3 = gdt_gate(p3, "3")
+    p2_in = (resize_bilinear_align_corners(p3, h2, w2)
+             + basic_lat_blk_forward(params["lateral_block3"], x2))
+
+    # Stage 2 (reference: src/birefnet.rs:351-364).
+    ipt3_up = resize_bilinear_align_corners(ipt3, h2, w2)
+    p2 = basic_dec_blk_forward(
+        params["decoder_block2"], jnp.concatenate([p2_in, ipt3_up], axis=-1),
+        compute, cfg.use_aspp_deformable)
+    p2 = gdt_gate(p2, "2")
+    p1_in = (resize_bilinear_align_corners(p2, h1, w1)
+             + basic_lat_blk_forward(params["lateral_block2"], x1))
+
+    # Stage 1 (reference: src/birefnet.rs:366-369).
+    ipt2_up = resize_bilinear_align_corners(ipt2, h1, w1)
+    p1 = basic_dec_blk_forward(
+        params["decoder_block1"], jnp.concatenate([p1_in, ipt2_up], axis=-1),
+        compute, cfg.use_aspp_deformable)
+
+    # Final head (reference: src/birefnet.rs:371-375).
+    p1_up = resize_bilinear_align_corners(p1, h, w)
+    ipt1_up = resize_bilinear_align_corners(ipt1, h, w)
+    final_in = jnp.concatenate([p1_up, ipt1_up], axis=-1)  # [B, H, W, 240]
+    return L.conv2d(params["conv_out1"], final_in)

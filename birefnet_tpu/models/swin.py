@@ -1,0 +1,203 @@
+"""Swin Transformer v1 backbone (TPU-native, functional, NHWC).
+
+Covers the reference's backbone layer-for-layer in behavior
+(reference: src/swin.rs): PatchEmbed, Mlp (exact GELU), WindowAttention with
+precomputed relative-position bias, SwinTransformerBlock with cyclic shift,
+PatchMerging, BasicLayer with the SW-MSA mask, and the 4-stage SwinTransformer
+that emits per-stage LayerNormed multi-scale features.
+
+TPU-native design choices (not a translation):
+- Activations stay [B, H, W, C] (NHWC) end to end; there is no NCHW round-trip
+  (the reference flattens to [B, HW, C] tokens and reshapes per block,
+  reference: src/swin.rs:774,356).
+- The SW-MSA mask and relative-position bias are trace-time constants —
+  the reference rebuilds the mask on the host every forward
+  (reference: src/swin.rs:584,603-655).
+- Attention runs as one batched einsum over all windows*heads (or the fused
+  Pallas kernel), never a per-window dispatch loop.
+
+Param tree (per checkpoint schema, see params.py):
+  patch_embed: {proj: conv2d, norm: layer_norm}
+  layers_{i}: {blocks_{j}: {norm1, attn: {qkv, proj, cached_bias}, norm2,
+               mlp: {fc1, fc2}}, downsample: {norm, reduction}?}
+  norm_{i}: layer_norm
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import ComputeConfig, SwinConfig
+from ..ops import attention as attn_ops
+from ..ops import layers as L
+from ..ops import window as W
+
+
+def mlp_forward(params, x: jax.Array) -> jax.Array:
+    """fc1 -> exact GELU -> fc2 (reference: src/swin.rs:103-107)."""
+    x = L.linear(params["fc1"], x)
+    x = L.gelu_exact(x)
+    return L.linear(params["fc2"], x)
+
+
+def window_attention_forward(
+    params,
+    x: jax.Array,
+    mask: Optional[jax.Array],
+    num_heads: int,
+    compute: ComputeConfig,
+) -> jax.Array:
+    """W-MSA on window tokens [B_, N, C] (reference: src/swin.rs:212-311).
+
+    `params["cached_bias"]` is the [heads, N, N] relative-position bias,
+    precomputed at load exactly as the reference does
+    (reference: src/swin.rs:146-152).
+    """
+    b_, n, c = x.shape
+    head_dim = c // num_heads
+
+    qkv = L.linear(params["qkv"], x)  # [B_, N, 3C]
+    qkv = qkv.reshape(b_, n, 3, num_heads, head_dim)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B_, heads, N, hd]
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    bias = params["cached_bias"]
+    if compute.use_flash_attention:
+        from ..ops.pallas import flash_window_attn
+        out = flash_window_attn.flash_window_attention(q, k, v, bias, mask)
+    else:
+        out = attn_ops.window_attention(q, k, v, bias, mask)
+
+    out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+    return L.linear(params["proj"], out)
+
+
+def swin_block_forward(
+    params,
+    x: jax.Array,
+    window_size: int,
+    shift_size: int,
+    num_heads: int,
+    attn_mask: Optional[jax.Array],
+    compute: ComputeConfig,
+) -> jax.Array:
+    """One Swin block on NHWC input (reference: src/swin.rs:350-410)."""
+    b, h, w, c = x.shape
+    shortcut = x
+
+    x = L.layer_norm(params["norm1"], x)
+    x = W.pad_to_multiple(x, window_size)
+    _, hp, wp, _ = x.shape
+
+    if shift_size > 0:
+        x = W.roll_2d(x, -shift_size, -shift_size)
+        mask = attn_mask
+    else:
+        mask = None
+
+    x_windows = W.window_partition(x, window_size)  # [B*nW, ws*ws, C]
+    attn_windows = window_attention_forward(
+        params["attn"], x_windows, mask, num_heads, compute)
+    x = W.window_reverse(attn_windows, window_size, hp, wp)
+
+    if shift_size > 0:
+        x = W.roll_2d(x, shift_size, shift_size)
+
+    if hp != h or wp != w:
+        x = x[:, :h, :w, :]
+
+    x = shortcut + x
+    x = x + mlp_forward(params["mlp"], L.layer_norm(params["norm2"], x))
+    return x
+
+
+def patch_merging_forward(params, x: jax.Array) -> jax.Array:
+    """2x downsample on NHWC input (reference: src/swin.rs:491-527)."""
+    b, h, w, c = x.shape
+    if h % 2 == 1 or w % 2 == 1:
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x0 = x[:, :, 0, :, 0, :]  # even rows, even cols
+    x1 = x[:, :, 1, :, 0, :]  # odd rows, even cols
+    x2 = x[:, :, 0, :, 1, :]  # even rows, odd cols
+    x3 = x[:, :, 1, :, 1, :]  # odd rows, odd cols
+    x = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # [B, H/2, W/2, 4C]
+    x = L.layer_norm(params["norm"], x)
+    return L.linear(params["reduction"], x)  # no bias
+
+
+def basic_layer_forward(
+    params,
+    x: jax.Array,
+    depth: int,
+    num_heads: int,
+    window_size: int,
+    compute: ComputeConfig,
+    downsample: bool,
+):
+    """One stage (reference: src/swin.rs:578-601).
+
+    Returns (x_out, x_down) where x_out is the pre-downsample NHWC feature.
+    """
+    b, h, w, c = x.shape
+    shift_size = window_size // 2
+    hp = -(-h // window_size) * window_size
+    wp = -(-w // window_size) * window_size
+
+    # Trace-time constant SW-MSA mask [nW, N, N] (reference: src/swin.rs:603-655).
+    attn_mask = jnp.asarray(W.sw_msa_mask(hp, wp, window_size, shift_size))
+
+    for j in range(depth):
+        block_shift = 0 if j % 2 == 0 else shift_size
+        x = swin_block_forward(
+            params[f"blocks_{j}"], x, window_size, block_shift, num_heads,
+            attn_mask, compute)
+
+    x_out = x
+    if downsample:
+        x_down = patch_merging_forward(params["downsample"], x)
+    else:
+        x_down = x
+    return x_out, x_down
+
+
+def patch_embed_forward(params, x: jax.Array, patch_size: int) -> jax.Array:
+    """Patchify NHWC input: pad -> conv k=s=patch -> LN
+    (reference: src/swin.rs:692-714)."""
+    b, h, w, c = x.shape
+    pad_h = (patch_size - h % patch_size) % patch_size
+    pad_w = (patch_size - w % patch_size) % patch_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    x = L.conv2d(params["proj"], x, stride=patch_size)
+    if "norm" in params:
+        x = L.layer_norm(params["norm"], x)
+    return x
+
+
+def swin_forward(
+    params,
+    cfg: SwinConfig,
+    x: jax.Array,
+    compute: ComputeConfig = ComputeConfig(),
+) -> List[jax.Array]:
+    """Backbone forward on NHWC input.
+
+    Returns the 4 multi-scale NHWC features [B, H/4^..., C_i] with per-stage
+    LayerNorm applied (reference: src/swin.rs:768-797).
+    """
+    x = patch_embed_forward(params["patch_embed"], x, cfg.patch_size)
+
+    outs: List[jax.Array] = []
+    for i, depth in enumerate(cfg.depths):
+        is_last = i == len(cfg.depths) - 1
+        x_out, x = basic_layer_forward(
+            params[f"layers_{i}"], x, depth, cfg.num_heads[i],
+            cfg.window_size, compute, downsample=not is_last)
+        out = L.layer_norm(params[f"norm_{i}"], x_out)
+        outs.append(out)
+    return outs

@@ -1,0 +1,92 @@
+"""Primitive NN layers (functional, NHWC, explicit param pytrees).
+
+These replace candle's `Linear` / `Conv2d` / `LayerNorm` / `BatchNorm` modules
+(reference L0, see SURVEY.md §1). Params are plain dicts of jnp arrays kept in
+float32; compute runs in the activation dtype with float32 MXU accumulation.
+
+Param schemas:
+  linear:     {"kernel": [in, out], "bias": [out]?}
+  conv2d:     {"kernel": [kh, kw, in, out] (HWIO), "bias": [out]?}
+  layer_norm: {"scale": [C], "bias": [C]}
+  batch_norm: {"scale": [C], "shift": [C]}   # precomputed at load:
+      scale = gamma / sqrt(running_var + eps); shift = beta - running_mean*scale
+      (inference-only BN, reference: src/decoder.rs:129 `forward_t(..., false)`)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, jax.Array]
+
+
+def linear(params: Params, x: jax.Array) -> jax.Array:
+    """Dense layer on the last axis."""
+    kernel = params["kernel"].astype(x.dtype)
+    y = jnp.einsum("...i,io->...o", x, kernel,
+                   precision=lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv2d(
+    params: Params,
+    x: jax.Array,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+) -> jax.Array:
+    """NHWC conv with HWIO weights (symmetric padding, matching candle's
+    Conv2dConfig semantics)."""
+    kernel = params["kernel"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm(params: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis, statistics in float32
+    (reference uses eps=1e-5 everywhere, e.g. src/swin.rs:333)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def batch_norm_inference(params: Params, x: jax.Array) -> jax.Array:
+    """Eval-mode BatchNorm as a precomputed channel-wise affine."""
+    y = x.astype(jnp.float32) * params["scale"].astype(jnp.float32)
+    y = y + params["shift"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf-based) GELU (reference: src/swin.rs:105 `gelu_erf`)."""
+    xf = x.astype(jnp.float32)
+    return (jax.nn.gelu(xf, approximate=False)).astype(x.dtype)
+
+
+def sigmoid(x: jax.Array) -> jax.Array:
+    return jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def relu(x: jax.Array) -> jax.Array:
+    return jnp.maximum(x, jnp.zeros((), dtype=x.dtype))

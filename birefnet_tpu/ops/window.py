@@ -1,0 +1,106 @@
+"""Window ops for shifted-window attention.
+
+Pure-functional equivalents of the reference's host-side window machinery:
+partition/reverse (reference: src/swin.rs:446-475), cyclic roll
+(reference: src/swin.rs:412-444), the SW-MSA attention mask
+(reference: src/swin.rs:603-655) and the relative-position index
+(reference: src/swin.rs:166-210).
+
+TPU-native notes:
+- All shapes are static under jit, so the attention mask and relative-position
+  index are computed in numpy at *trace* time and baked into the compiled
+  program as constants — the reference rebuilds the mask on the host every
+  forward (reference: src/swin.rs:584); here it costs nothing at runtime.
+- The cyclic shift is `jnp.roll`, which XLA lowers to two slices + concat —
+  identical math to the reference's narrow+cat `roll_2d`.
+
+Layout: activations are NHWC ([B, H, W, C]); windows are [B*nW, ws*ws, C] with
+the window grid enumerated row-major, exactly matching the reference so weights
+and biases line up.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def window_partition(x: jax.Array, window_size: int) -> jax.Array:
+    """[B, H, W, C] -> [B*nW, ws*ws, C] (reference: src/swin.rs:446-459).
+
+    H and W must be multiples of window_size (pad first).
+    """
+    b, h, w, c = x.shape
+    ws = window_size
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * (h // ws) * (w // ws), ws * ws, c)
+
+
+def window_reverse(windows: jax.Array, window_size: int, h: int, w: int) -> jax.Array:
+    """[B*nW, ws*ws, C] -> [B, H, W, C] (reference: src/swin.rs:461-475)."""
+    ws = window_size
+    b_nw, _, c = windows.shape
+    num_windows = (h // ws) * (w // ws)
+    b = b_nw // num_windows
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def roll_2d(x: jax.Array, shift_h: int, shift_w: int) -> jax.Array:
+    """Cyclic shift over H and W of an NHWC tensor
+    (reference: src/swin.rs:412-444)."""
+    return jnp.roll(x, shift=(shift_h, shift_w), axis=(1, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(window_size: int) -> np.ndarray:
+    """[ws*ws, ws*ws] int32 index into the (2*ws-1)^2 bias table
+    (reference: src/swin.rs:166-210, matches the PyTorch Swin implementation).
+    """
+    ws = window_size
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    coords_flat = coords.reshape(2, -1)  # [2, ws*ws], (h, w) per token
+    rel = coords_flat[:, :, None] - coords_flat[:, None, :]  # [2, N, N]
+    rel_h = rel[0] + (ws - 1)
+    rel_w = rel[1] + (ws - 1)
+    return (rel_h * (2 * ws - 1) + rel_w).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def sw_msa_mask(hp: int, wp: int, window_size: int, shift_size: int) -> np.ndarray:
+    """SW-MSA attention mask [nW, ws*ws, ws*ws] float32 with 0 / -100.0 entries.
+
+    The reference builds this on the host each forward with a 9-region fill and
+    uses -100.0 (not -inf) for masked pairs (reference: src/swin.rs:603-655).
+    hp/wp are the window-padded spatial dims.
+    """
+    ws = window_size
+    img_mask = np.zeros((hp, wp), dtype=np.float32)
+    h_slices = ((0, hp - ws), (hp - ws, hp - shift_size), (hp - shift_size, hp))
+    w_slices = ((0, wp - ws), (wp - ws, wp - shift_size), (wp - shift_size, wp))
+    cnt = 0
+    for h0, h1 in h_slices:
+        for w0, w1 in w_slices:
+            img_mask[h0:h1, w0:w1] = cnt
+            cnt += 1
+    # Partition into windows: [nW, ws*ws]
+    m = img_mask.reshape(hp // ws, ws, wp // ws, ws)
+    m = m.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = m[:, None, :] - m[:, :, None]  # mask1 - mask2, matching :645-647
+    return np.where(diff != 0, np.float32(-100.0), np.float32(0.0))
+
+
+def pad_to_multiple(x: jax.Array, multiple: int) -> jax.Array:
+    """Zero-pad H and W (bottom/right) of NHWC input up to a multiple
+    (reference: src/swin.rs:359-366)."""
+    b, h, w, c = x.shape
+    pad_b = (multiple - h % multiple) % multiple
+    pad_r = (multiple - w % multiple) % multiple
+    if pad_b == 0 and pad_r == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))

@@ -1,0 +1,64 @@
+"""Sharding specs and sharded inference steps.
+
+Batch data parallelism for throughput (the analog of the reference's batch-8
+bench config) and spatial activation sharding for high-resolution variants.
+Collectives are inserted by XLA from sharding annotations — the TPU-native
+replacement for the reference's "no communication backend at all"
+(SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import BiRefNetConfig, ComputeConfig
+from ..models import birefnet
+from .mesh import DATA_AXIS, SPATIAL_AXIS
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    """NHWC batch sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+
+
+def batch_spatial_sharded(mesh: Mesh) -> NamedSharding:
+    """NHWC sharding: batch over data axis, H over spatial axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
+
+
+def make_data_parallel_forward(
+    mesh: Mesh,
+    cfg: BiRefNetConfig,
+    compute: ComputeConfig = ComputeConfig(),
+    logits: bool = False,
+    spatial: bool = False,
+):
+    """jit-compiled forward with batch-DP (optionally + spatial) sharding.
+
+    Params are replicated (Swin-L fits comfortably in one chip's HBM);
+    activations are sharded over the mesh. XLA inserts the collectives
+    (halo exchanges for convs/windows on the spatial axis) automatically
+    from the annotations.
+    """
+    fn = birefnet.forward_logits if logits else birefnet.forward
+    in_sharding = batch_spatial_sharded(mesh) if spatial else batch_sharded(mesh)
+
+    @functools.partial(
+        jax.jit,
+        static_argnums=(),
+        in_shardings=(replicated(mesh), in_sharding),
+        out_shardings=in_sharding,
+    )
+    def step(params, x):
+        return fn(params, cfg, x, compute)
+
+    return step

@@ -1,0 +1,171 @@
+"""Op-level parity tests vs PyTorch ground truth.
+
+Mirrors the reference's numerical-parity test strategy (SURVEY.md §4):
+every custom op is validated against the PyTorch oracle on random inputs.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from birefnet_tpu.ops.resize import (
+    resize_bilinear_align_corners,
+    resize_nearest,
+)
+from birefnet_tpu.ops.window import (
+    pad_to_multiple,
+    relative_position_index,
+    roll_2d,
+    sw_msa_mask,
+    window_partition,
+    window_reverse,
+)
+from birefnet_tpu.ops.attention import window_attention
+from birefnet_tpu.ops.deform_conv import deform_conv2d
+from tests.torch_ref.birefnet_torch import deform_conv2d_torch
+
+
+@pytest.mark.parametrize("src,dst", [(8, 16), (16, 8), (7, 13), (32, 32),
+                                     (5, 1), (1, 5), (33, 64), (64, 33)])
+def test_resize_align_corners_matches_torch(rng, src, dst):
+    x = rng.normal(size=(2, src, src + 1, 3)).astype(np.float32)
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), dst, dst + 2))
+    want = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(dst, dst + 2),
+        mode="bilinear", align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("src,dst", [(1, 8), (4, 8), (8, 4), (3, 7)])
+def test_resize_nearest_matches_torch(rng, src, dst):
+    x = rng.normal(size=(1, src, src, 4)).astype(np.float32)
+    got = np.asarray(resize_nearest(jnp.asarray(x), dst, dst))
+    want = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(dst, dst),
+        mode="nearest").permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want)
+
+
+def test_window_partition_reverse_roundtrip(rng):
+    x = rng.normal(size=(2, 24, 36, 8)).astype(np.float32)
+    w = window_partition(jnp.asarray(x), 12)
+    assert w.shape == (2 * 2 * 3, 144, 8)
+    back = window_reverse(w, 12, 24, 36)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_window_partition_matches_torch_layout(rng):
+    from tests.torch_ref.birefnet_torch import window_partition as tw
+    x = rng.normal(size=(1, 24, 24, 4)).astype(np.float32)
+    got = np.asarray(window_partition(jnp.asarray(x), 12))
+    want = tw(torch.from_numpy(x), 12).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_roll_matches_torch(rng):
+    x = rng.normal(size=(1, 10, 12, 3)).astype(np.float32)
+    got = np.asarray(roll_2d(jnp.asarray(x), -6, -6))
+    want = torch.roll(torch.from_numpy(x), (-6, -6), dims=(1, 2)).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_relative_position_index_matches_torch():
+    ws = 12
+    idx = relative_position_index(ws)
+    coords = torch.stack(torch.meshgrid(
+        torch.arange(ws), torch.arange(ws), indexing="ij"))
+    cf = coords.flatten(1)
+    rel = cf[:, :, None] - cf[:, None, :]
+    want = ((rel[0] + ws - 1) * (2 * ws - 1) + (rel[1] + ws - 1)).numpy()
+    np.testing.assert_array_equal(idx, want)
+    assert idx.max() == (2 * ws - 1) ** 2 - 1
+
+
+def test_sw_msa_mask_values():
+    # Reference semantics: -100.0 (not -inf) for cross-region pairs
+    # (reference: src/swin.rs:651).
+    m = sw_msa_mask(24, 24, 12, 6)
+    assert m.shape == (4, 144, 144)
+    assert set(np.unique(m)) <= {0.0, -100.0}
+    # Non-shifted top-left window: fully unmasked.
+    assert (m[0] == 0).all()
+    # Bottom-right window mixes 4 regions: must have masked pairs.
+    assert (m[3] == -100.0).any()
+
+
+def test_window_attention_matches_torch(rng):
+    b_, heads, n, d = 8, 3, 16, 8
+    nw = 4
+    q = rng.normal(size=(b_, heads, n, d)).astype(np.float32)
+    k = rng.normal(size=(b_, heads, n, d)).astype(np.float32)
+    v = rng.normal(size=(b_, heads, n, d)).astype(np.float32)
+    bias = rng.normal(size=(heads, n, n)).astype(np.float32)
+    mask = (rng.integers(0, 2, size=(nw, n, n)) * -100.0).astype(np.float32)
+
+    got = np.asarray(window_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+        jnp.asarray(mask)))
+
+    tq, tk, tv = map(torch.from_numpy, (q, k, v))
+    attn = (tq * d ** -0.5) @ tk.transpose(-2, -1)
+    attn = attn + torch.from_numpy(bias).unsqueeze(0)
+    attn = attn.view(b_ // nw, nw, heads, n, n)
+    attn = attn + torch.from_numpy(mask).unsqueeze(0).unsqueeze(2)
+    attn = attn.view(b_, heads, n, n).softmax(-1)
+    want = (attn @ tv).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k,pad,stride", [(1, 0, 1), (3, 1, 1), (7, 3, 1),
+                                          (3, 1, 2)])
+def test_deform_conv_matches_torch(rng, k, pad, stride):
+    b, h, w, cin, cout = 2, 9, 11, 6, 5
+    x = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    oh = (h + 2 * pad - k) // stride + 1
+    ow = (w + 2 * pad - k) // stride + 1
+    offset = (rng.normal(size=(b, oh, ow, 2 * k * k)) * 2).astype(np.float32)
+    mask = rng.uniform(0, 2, size=(b, oh, ow, k * k)).astype(np.float32)
+    weight = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+    bias = rng.normal(size=(cout,)).astype(np.float32)
+
+    got = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias), stride=stride, padding=pad))
+
+    # Torch oracle uses NCHW + OIHW + interleaved (dy,dx) offset channels.
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    toff = torch.from_numpy(offset).permute(0, 3, 1, 2)
+    tmask = torch.from_numpy(mask).permute(0, 3, 1, 2)
+    tw = torch.from_numpy(weight).permute(3, 2, 0, 1)
+    want = deform_conv2d_torch(
+        tx, toff, tmask, tw, torch.from_numpy(bias),
+        stride=stride, padding=pad).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_deform_conv_zero_offset_equals_regular_conv(rng):
+    """With zero offsets and unit mask, deform conv == regular conv."""
+    b, h, w, cin, cout, k = 1, 8, 8, 4, 3, 3
+    x = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    weight = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+    offset = np.zeros((b, h, w, 2 * k * k), np.float32)
+    mask = np.ones((b, h, w, k * k), np.float32)
+    got = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), padding=1))
+    want = F.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(weight).permute(3, 2, 0, 1),
+        padding=1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_pad_to_multiple():
+    x = jnp.ones((1, 10, 14, 2))
+    y = pad_to_multiple(x, 12)
+    assert y.shape == (1, 12, 24, 2)
+    assert float(y[:, 10:, :, :].sum()) == 0.0

@@ -1,0 +1,513 @@
+"""PyTorch reference implementation of BiRefNet (Swin-L) for parity testing.
+
+This plays the role of the reference repo's `debug_*.py` oracles, which run
+the upstream PyTorch BiRefNet and diff intermediates against the Rust port
+(reference: debug_compare.py, debug_swin_stages.py). Here the oracle is
+self-contained: a faithful PyTorch implementation whose state_dict keys match
+the ZhengPeng7/BiRefNet checkpoint schema exactly, so the same (random or
+real) checkpoint drives both this oracle and the JAX framework.
+
+Numerics mirror the reference implementation's behavior:
+- exact (erf) GELU (reference: src/swin.rs:105)
+- -100.0 SW-MSA mask values (reference: src/swin.rs:651)
+- 2*sigmoid deformable modulator (reference: src/aspp.rs:173-174)
+- eval-mode BatchNorm everywhere (reference: src/decoder.rs:129)
+- bilinear align_corners=True resizes (reference: src/birefnet.rs:332 etc.)
+- true modulated deformable sampling (torchvision deform_conv2d semantics,
+  implemented in pure torch below since torchvision is unavailable).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+# ---------------------------------------------------------------------------
+# Deformable conv (pure-torch torchvision semantics)
+# ---------------------------------------------------------------------------
+
+def deform_conv2d_torch(
+    x: torch.Tensor,
+    offset: torch.Tensor,
+    mask: torch.Tensor,
+    weight: torch.Tensor,
+    bias: Optional[torch.Tensor] = None,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+) -> torch.Tensor:
+    """Modulated deformable conv v2, NCHW, torchvision layout:
+    offset [B, 2*kh*kw, OH, OW] with (dy, dx) interleaved per row-major tap;
+    mask [B, kh*kw, OH, OW]; weight [outC, C, kh, kw]."""
+    b, c, h, w = x.shape
+    out_c, _, kh, kw = weight.shape
+    k = kh * kw
+    oh = (h + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    ow = (w + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+
+    base_y = torch.arange(oh, dtype=x.dtype) * stride - padding
+    base_x = torch.arange(ow, dtype=x.dtype) * stride - padding
+
+    x_flat = x.reshape(b, c, h * w)
+    out = x.new_zeros(b, out_c, oh, ow)
+    w_flat = weight.reshape(out_c, c, k)
+
+    for tap in range(k):
+        ky, kx = tap // kw, tap % kw
+        dy = offset[:, 2 * tap]
+        dx = offset[:, 2 * tap + 1]
+        ys = base_y.view(1, oh, 1) + ky * dilation + dy
+        xs = base_x.view(1, 1, ow) + kx * dilation + dx
+        valid = (ys > -1) & (ys < h) & (xs > -1) & (xs < w)
+
+        y0 = torch.floor(ys)
+        x0 = torch.floor(xs)
+        ly, lx = ys - y0, xs - x0
+        hy, hx = 1.0 - ly, 1.0 - lx
+        y0i, x0i = y0.long(), x0.long()
+
+        sample = x.new_zeros(b, c, oh, ow)
+        for (cy, cx, wy, wx) in (
+            (y0i, x0i, hy, hx),
+            (y0i, x0i + 1, hy, lx),
+            (y0i + 1, x0i, ly, hx),
+            (y0i + 1, x0i + 1, ly, lx),
+        ):
+            in_b = (cy >= 0) & (cy < h) & (cx >= 0) & (cx < w)
+            cyc = cy.clamp(0, h - 1)
+            cxc = cx.clamp(0, w - 1)
+            idx = (cyc * w + cxc).reshape(b, 1, oh * ow).expand(b, c, oh * ow)
+            vals = torch.gather(x_flat, 2, idx).reshape(b, c, oh, ow)
+            wt = (wy * wx) * valid.to(x.dtype) * in_b.to(x.dtype)
+            sample = sample + vals * wt.unsqueeze(1)
+
+        sample = sample * mask[:, tap].unsqueeze(1)
+        out = out + torch.einsum("bchw,oc->bohw", sample, w_flat[:, :, tap])
+
+    if bias is not None:
+        out = out + bias.view(1, out_c, 1, 1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Swin backbone
+# ---------------------------------------------------------------------------
+
+class Mlp(nn.Module):
+    def __init__(self, dim: int, hidden: int):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))  # exact erf GELU
+
+
+class WindowAttention(nn.Module):
+    def __init__(self, dim: int, window_size: int, num_heads: int):
+        super().__init__()
+        self.dim = dim
+        self.window_size = window_size
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+        n_rel = (2 * window_size - 1) ** 2
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros(n_rel, num_heads))
+        ws = window_size
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(ws), torch.arange(ws), indexing="ij"))
+        cf = coords.flatten(1)
+        rel = cf[:, :, None] - cf[:, None, :]
+        idx = (rel[0] + ws - 1) * (2 * ws - 1) + (rel[1] + ws - 1)
+        self.register_buffer("relative_position_index", idx, persistent=False)
+
+    def forward(self, x, mask: Optional[torch.Tensor]):
+        b_, n, c = x.shape
+        qkv = self.qkv(x).reshape(b_, n, 3, self.num_heads, c // self.num_heads)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.reshape(-1)]
+        bias = bias.reshape(n, n, self.num_heads).permute(2, 0, 1)
+        attn = attn + bias.unsqueeze(0)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.view(b_ // nw, nw, self.num_heads, n, n)
+            attn = attn + mask.unsqueeze(0).unsqueeze(2)
+            attn = attn.view(b_, self.num_heads, n, n)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+        return self.proj(x)
+
+
+def window_partition(x, ws):
+    b, h, w, c = x.shape
+    x = x.view(b, h // ws, ws, w // ws, ws, c)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows, ws, h, w):
+    nw = (h // ws) * (w // ws)
+    b = windows.shape[0] // nw
+    c = windows.shape[-1]
+    x = windows.view(b, h // ws, w // ws, ws, ws, c)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+
+class SwinBlock(nn.Module):
+    def __init__(self, dim, num_heads, window_size, shift_size, mlp_ratio):
+        super().__init__()
+        self.window_size = window_size
+        self.shift_size = shift_size
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = WindowAttention(dim, window_size, num_heads)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = Mlp(dim, int(dim * mlp_ratio))
+
+    def forward(self, x, h, w, attn_mask):
+        b, l, c = x.shape
+        shortcut = x
+        x = self.norm1(x).view(b, h, w, c)
+
+        ws = self.window_size
+        pad_r = (ws - w % ws) % ws
+        pad_b = (ws - h % ws) % ws
+        if pad_r or pad_b:
+            x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+        hp, wp = x.shape[1], x.shape[2]
+
+        if self.shift_size > 0:
+            x = torch.roll(x, (-self.shift_size, -self.shift_size), dims=(1, 2))
+            mask = attn_mask
+        else:
+            mask = None
+
+        xw = window_partition(x, ws)
+        xw = self.attn(xw, mask)
+        x = window_reverse(xw, ws, hp, wp)
+
+        if self.shift_size > 0:
+            x = torch.roll(x, (self.shift_size, self.shift_size), dims=(1, 2))
+        if pad_r or pad_b:
+            x = x[:, :h, :w, :]
+
+        x = shortcut + x.reshape(b, h * w, c)
+        return x + self.mlp(self.norm2(x))
+
+
+class PatchMerging(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.norm = nn.LayerNorm(4 * dim)
+        self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+
+    def forward(self, x, h, w):
+        b, l, c = x.shape
+        x = x.view(b, h, w, c)
+        if h % 2 or w % 2:
+            x = F.pad(x, (0, 0, 0, w % 2, 0, h % 2))
+            h, w = x.shape[1], x.shape[2]
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = torch.cat([x0, x1, x2, x3], -1).view(b, -1, 4 * c)
+        return self.reduction(self.norm(x))
+
+
+class BasicLayer(nn.Module):
+    def __init__(self, dim, depth, num_heads, window_size, mlp_ratio, downsample):
+        super().__init__()
+        self.window_size = window_size
+        self.shift_size = window_size // 2
+        self.blocks = nn.ModuleList([
+            SwinBlock(dim, num_heads, window_size,
+                      0 if i % 2 == 0 else window_size // 2, mlp_ratio)
+            for i in range(depth)
+        ])
+        self.downsample = PatchMerging(dim) if downsample else None
+
+    def make_mask(self, hp, wp, dtype):
+        ws, ss = self.window_size, self.shift_size
+        img_mask = torch.zeros(1, hp, wp, 1)
+        cnt = 0
+        for hs in ((0, hp - ws), (hp - ws, hp - ss), (hp - ss, hp)):
+            for wsl in ((0, wp - ws), (wp - ws, wp - ss), (wp - ss, wp)):
+                img_mask[:, hs[0]:hs[1], wsl[0]:wsl[1], :] = cnt
+                cnt += 1
+        mw = window_partition(img_mask, ws).view(-1, ws * ws)
+        diff = mw.unsqueeze(1) - mw.unsqueeze(2)
+        return torch.where(diff != 0, torch.tensor(-100.0), torch.tensor(0.0)).to(dtype)
+
+    def forward(self, x, h, w):
+        hp = math.ceil(h / self.window_size) * self.window_size
+        wp = math.ceil(w / self.window_size) * self.window_size
+        attn_mask = self.make_mask(hp, wp, x.dtype)
+        for blk in self.blocks:
+            x = blk(x, h, w, attn_mask)
+        x_out = x
+        if self.downsample is not None:
+            x = self.downsample(x, h, w)
+            return x_out, h, w, x, (h + 1) // 2, (w + 1) // 2
+        return x_out, h, w, x, h, w
+
+
+class PatchEmbed(nn.Module):
+    def __init__(self, patch_size, in_chans, embed_dim):
+        super().__init__()
+        self.patch_size = patch_size
+        self.proj = nn.Conv2d(in_chans, embed_dim, patch_size, patch_size)
+        self.norm = nn.LayerNorm(embed_dim)
+
+    def forward(self, x):
+        _, _, h, w = x.shape
+        ps = self.patch_size
+        if w % ps or h % ps:
+            x = F.pad(x, (0, (ps - w % ps) % ps, 0, (ps - h % ps) % ps))
+        x = self.proj(x)
+        b, c, wh, ww = x.shape
+        x = x.flatten(2).transpose(1, 2)
+        x = self.norm(x)
+        return x.transpose(1, 2).reshape(b, c, wh, ww)
+
+
+class SwinTransformer(nn.Module):
+    def __init__(self, embed_dim=192, depths=(2, 2, 18, 2),
+                 num_heads=(6, 12, 24, 48), window_size=12, mlp_ratio=4.0,
+                 patch_size=4, in_chans=3):
+        super().__init__()
+        self.embed_dim = embed_dim
+        self.patch_embed = PatchEmbed(patch_size, in_chans, embed_dim)
+        self.layers = nn.ModuleList()
+        for i, depth in enumerate(depths):
+            dim = embed_dim * (1 << i)
+            self.layers.append(BasicLayer(
+                dim, depth, num_heads[i], window_size, mlp_ratio,
+                downsample=i < len(depths) - 1))
+            setattr(self, f"norm{i}", nn.LayerNorm(dim))
+
+    def forward(self, x) -> List[torch.Tensor]:
+        x = self.patch_embed(x)
+        b, c, wh, ww = x.shape
+        x = x.flatten(2).transpose(1, 2)
+        h, w = wh, ww
+        outs = []
+        for i, layer in enumerate(self.layers):
+            x_out, oh, ow, x, h, w = layer(x, h, w)
+            norm = getattr(self, f"norm{i}")
+            out = norm(x_out).view(b, oh, ow, -1).permute(0, 3, 1, 2)
+            outs.append(out)
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# ASPP / decoder
+# ---------------------------------------------------------------------------
+
+class DeformConvASPP(nn.Module):
+    def __init__(self, cin, cout, k, padding):
+        super().__init__()
+        self.k = k
+        self.padding = padding
+        self.offset_conv = nn.Conv2d(cin, 2 * k * k, k, padding=padding)
+        self.modulator_conv = nn.Conv2d(cin, k * k, k, padding=padding)
+        self.regular_conv = nn.Conv2d(cin, cout, k, padding=padding, bias=False)
+
+    def forward(self, x):
+        offset = self.offset_conv(x)
+        mask = 2.0 * torch.sigmoid(self.modulator_conv(x))
+        return deform_conv2d_torch(
+            x, offset, mask, self.regular_conv.weight,
+            bias=None, stride=1, padding=self.padding)
+
+
+class ASPPModuleDeformable(nn.Module):
+    def __init__(self, cin, planes, k, padding):
+        super().__init__()
+        self.atrous_conv = DeformConvASPP(cin, planes, k, padding)
+        self.bn = nn.BatchNorm2d(planes)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.atrous_conv(x)))
+
+
+class ASPPDeformable(nn.Module):
+    def __init__(self, cin, cout=None):
+        super().__init__()
+        cout = cout or cin
+        inter = 256
+        self.aspp1 = ASPPModuleDeformable(cin, inter, 1, 0)
+        self.aspp_deforms = nn.ModuleList([
+            ASPPModuleDeformable(cin, inter, k, k // 2) for k in (1, 3, 7)
+        ])
+        self.global_avg_pool = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1),
+            nn.Conv2d(cin, inter, 1, bias=False),
+            nn.BatchNorm2d(inter),
+            nn.ReLU(),
+        )
+        self.conv1 = nn.Conv2d(inter * 5, cout, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        h, w = x.shape[2:]
+        outs = [self.aspp1(x)] + [m(x) for m in self.aspp_deforms]
+        x5 = self.global_avg_pool(x)
+        x5 = F.interpolate(x5, size=(h, w), mode="nearest")
+        outs.append(x5)
+        return F.relu(self.bn1(self.conv1(torch.cat(outs, 1))))
+
+
+class SimpleConvs(nn.Module):
+    def __init__(self, cin, cout, inter=64):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, inter, 3, padding=1)
+        self.conv_out = nn.Conv2d(inter, cout, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv_out(self.conv1(x))
+
+
+class BasicLatBlk(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class BasicDecBlk(nn.Module):
+    def __init__(self, cin, cout, inter=64):
+        super().__init__()
+        self.conv_in = nn.Conv2d(cin, inter, 3, padding=1)
+        self.bn_in = nn.BatchNorm2d(inter)
+        self.dec_att = ASPPDeformable(inter)
+        self.conv_out = nn.Conv2d(inter, cout, 3, padding=1)
+        self.bn_out = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        x = F.relu(self.bn_in(self.conv_in(x)))
+        x = self.dec_att(x)
+        return self.bn_out(self.conv_out(x))
+
+
+def up_ac(x, h, w):
+    return F.interpolate(x, size=(h, w), mode="bilinear", align_corners=True)
+
+
+def image2patches(x, th, tw):
+    b, c, h, w = x.shape
+    gh, gw = h // th, w // tw
+    x = x.reshape(b, c, gh, th, gw, tw).permute(0, 1, 2, 4, 3, 5)
+    return x.reshape(b, c * gh * gw, th, tw)
+
+
+class Decoder(nn.Module):
+    def __init__(self, lat=(384, 768, 1536, 3072)):
+        super().__init__()
+        ipt_out = (48, 96, 192, 384, 384)
+        self.ipt_blk1 = SimpleConvs(3, ipt_out[0])
+        self.ipt_blk2 = SimpleConvs(ipt_out[0], ipt_out[1])
+        self.ipt_blk3 = SimpleConvs(lat[0] // 2, ipt_out[2])
+        self.ipt_blk4 = SimpleConvs(lat[2] // 2, ipt_out[3])
+        self.ipt_blk5 = SimpleConvs(lat[3], ipt_out[4])
+
+        dec_out = (lat[2], lat[1], lat[0], lat[0] // 2)
+        self.decoder_block4 = BasicDecBlk(lat[3] + ipt_out[4], dec_out[0])
+        self.decoder_block3 = BasicDecBlk(dec_out[0] + ipt_out[3], dec_out[1])
+        self.decoder_block2 = BasicDecBlk(dec_out[1] + ipt_out[2], dec_out[2])
+        self.decoder_block1 = BasicDecBlk(dec_out[2] + ipt_out[1], dec_out[3])
+
+        self.lateral_block4 = BasicLatBlk(lat[2], lat[2])
+        self.lateral_block3 = BasicLatBlk(lat[1], lat[1])
+        self.lateral_block2 = BasicLatBlk(lat[0], lat[0])
+
+        for stage, ch in zip((4, 3, 2), dec_out):
+            setattr(self, f"gdt_convs_{stage}", nn.Sequential(
+                nn.Conv2d(ch, 16, 3, padding=1), nn.BatchNorm2d(16), nn.ReLU()))
+            setattr(self, f"gdt_convs_attn_{stage}",
+                    nn.Sequential(nn.Conv2d(16, 1, 1)))
+            setattr(self, f"gdt_convs_pred_{stage}",
+                    nn.Sequential(nn.Conv2d(16, 1, 1)))
+            setattr(self, f"conv_ms_spvn_{stage}", nn.Conv2d(ch, 1, 1))
+
+        self.conv_out1 = nn.Sequential(nn.Conv2d(dec_out[3] + ipt_out[0], 1, 1))
+
+    def forward(self, x, x1, x2, x3, x4):
+        h, w = x.shape[2:]
+        h1, w1 = x1.shape[2:]
+        h2, w2 = x2.shape[2:]
+        h3, w3 = x3.shape[2:]
+
+        ipt5 = self.ipt_blk5(image2patches(x, h // 32, w // 32))
+        ipt4 = self.ipt_blk4(image2patches(x, h // 16, w // 16))
+        ipt3 = self.ipt_blk3(image2patches(x, h // 8, w // 8))
+        ipt2 = self.ipt_blk2(image2patches(x, h // 4, w // 4))
+        ipt1 = self.ipt_blk1(x)
+
+        p4 = self.decoder_block4(torch.cat([x4, ipt5], 1))
+        p4 = p4 * torch.sigmoid(self.gdt_convs_attn_4(self.gdt_convs_4(p4)))
+        p3_in = up_ac(p4, h3, w3) + self.lateral_block4(x3)
+
+        p3 = self.decoder_block3(torch.cat([p3_in, up_ac(ipt4, h3, w3)], 1))
+        p3 = p3 * torch.sigmoid(self.gdt_convs_attn_3(self.gdt_convs_3(p3)))
+        p2_in = up_ac(p3, h2, w2) + self.lateral_block3(x2)
+
+        p2 = self.decoder_block2(torch.cat([p2_in, up_ac(ipt3, h2, w2)], 1))
+        p2 = p2 * torch.sigmoid(self.gdt_convs_attn_2(self.gdt_convs_2(p2)))
+        p1_in = up_ac(p2, h1, w1) + self.lateral_block2(x1)
+
+        p1 = self.decoder_block1(torch.cat([p1_in, up_ac(ipt2, h1, w1)], 1))
+        return self.conv_out1(torch.cat([up_ac(p1, h, w), up_ac(ipt1, h, w)], 1))
+
+
+class BiRefNetTorch(nn.Module):
+    """Full model; state_dict keys match the ZhengPeng7/BiRefNet checkpoint."""
+
+    def __init__(self):
+        super().__init__()
+        self.bb = SwinTransformer()
+        self.squeeze_module = nn.Sequential(BasicDecBlk(5760, 3072))
+        self.decoder = Decoder()
+
+    def forward_logits(self, x):
+        h, w = x.shape[2:]
+        f = self.bb(x)
+        x1, x2, x3, x4 = f
+
+        x_half = up_ac(x, h // 2, w // 2)
+        fh = self.bb(x_half)
+        x1 = torch.cat([x1, up_ac(fh[0], *x1.shape[2:])], 1)
+        x2 = torch.cat([x2, up_ac(fh[1], *x2.shape[2:])], 1)
+        x3 = torch.cat([x3, up_ac(fh[2], *x3.shape[2:])], 1)
+        x4 = torch.cat([x4, up_ac(fh[3], *x4.shape[2:])], 1)
+
+        h4, w4 = x4.shape[2:]
+        x4 = torch.cat([up_ac(x1, h4, w4), up_ac(x2, h4, w4),
+                        up_ac(x3, h4, w4), x4], 1)
+        x4 = self.squeeze_module(x4)
+        return self.decoder(x, x1, x2, x3, x4)
+
+    def forward(self, x):
+        return torch.sigmoid(self.forward_logits(x))
+
+
+def load_flat_checkpoint(model: nn.Module, tensors) -> None:
+    """Load a flat {name: np.ndarray} dict; only num_batches_tracked may be
+    absent."""
+    sd = {k: torch.from_numpy(v.copy()) for k, v in tensors.items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    real_missing = [k for k in missing if "num_batches_tracked" not in k]
+    assert not real_missing, f"missing keys: {real_missing[:10]}"
+    assert not unexpected, f"unexpected keys: {unexpected[:10]}"
+    model.eval()
