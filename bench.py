@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: BiRefNet Swin-L images/sec/chip at 1024x1024.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+vs_baseline is measured-throughput / 150 img/s/chip (the BASELINE.md target for
+TPU v5e bf16; the reference publishes no numbers of its own — see BASELINE.md).
+
+The benchmark measures the fully fused pipeline (uint8 in -> uint8 mask out,
+preprocess + both backbone passes + decoder + postprocess in one jitted
+program), mirroring the reference's bench_inference end-to-end shape
+(reference: examples/bench_inference.rs) but with device-side pre/post.
+
+Env overrides: BENCH_BATCH (default 4), BENCH_SIZE (default 1024),
+BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 10),
+BENCH_FLASH / BENCH_PALLAS_DEFORM (default 1 on TPU).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    import jax
+    import jax.numpy as jnp
+    import birefnet_tpu as bt
+    from birefnet_tpu import pipeline
+
+    on_tpu = jax.default_backend() == "tpu"
+    use_flash = os.environ.get("BENCH_FLASH", "1") == "1" and on_tpu
+    use_pallas_deform = (
+        os.environ.get("BENCH_PALLAS_DEFORM", "1") == "1" and on_tpu)
+
+    cfg = bt.BiRefNetConfig.swin_l()
+    compute = bt.ComputeConfig(
+        dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+        use_flash_attention=use_flash,
+        use_pallas_deform=use_pallas_deform,
+    )
+
+    print(f"[bench] backend={jax.default_backend()} batch={batch} "
+          f"size={size} dtype={dtype_name} flash={use_flash} "
+          f"pallas_deform={use_pallas_deform}", file=sys.stderr)
+
+    params = bt.init_params(cfg, seed=0)
+    infer = pipeline.make_infer_fn(params, cfg, compute)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(batch, size, size, 3), dtype=np.uint8))
+
+    t0 = time.time()
+    out = jax.block_until_ready(infer(frames))
+    print(f"[bench] compile+first run: {time.time() - t0:.1f}s "
+          f"out={out.shape} {out.dtype}", file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(infer(frames))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    median = sorted(times)[len(times) // 2]
+    imgs_per_sec = batch / median
+
+    print(f"[bench] per-iter: best={best * 1e3:.1f}ms "
+          f"median={median * 1e3:.1f}ms -> {imgs_per_sec:.2f} img/s",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"images/sec/chip at {size}x{size} Swin-L {dtype_name}",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / 150.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

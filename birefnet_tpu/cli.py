@@ -1,0 +1,124 @@
+"""CLI entry point: BiRefNet inference on an image.
+
+The TPU-native equivalent of the reference's `infer_image` example
+(reference: examples/infer_image.rs): load weights, preprocess, forward,
+sigmoid, resize mask back, save. The host only decodes/encodes the image
+bytes; resize/normalize/sigmoid/mask-resize run on device in one jitted
+program (see pipeline.py).
+
+Usage:
+  python -m birefnet_tpu.cli photo.jpg mask.png --checkpoint model.safetensors
+
+Flags replace the reference's cargo features / env vars:
+  --no-flash   disable the Pallas flash-attention kernel
+               (reference's DISABLE_FLASH_ATTN env var, src/swin.rs:228 —
+               the env var is honored here too)
+  --no-pallas-deform  disable the Pallas deformable-conv kernel
+  --dtype      float32 | bfloat16
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def default_checkpoint_path() -> str | None:
+    """Look for the HF-hub cached ZhengPeng7/BiRefNet snapshot the reference
+    downloads (reference: examples/infer_image.rs:30-32,
+    examples/bench_inference.rs:19-20)."""
+    root = os.path.expanduser(
+        "~/.cache/huggingface/hub/models--ZhengPeng7--BiRefNet/snapshots")
+    if os.path.isdir(root):
+        for snap in sorted(os.listdir(root)):
+            cand = os.path.join(root, snap, "model.safetensors")
+            if os.path.exists(cand):
+                return cand
+    return None
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="BiRefNet dichotomous image segmentation (TPU-native)")
+    parser.add_argument("image", help="input image path")
+    parser.add_argument("output", nargs="?", default="output_mask.png",
+                        help="output mask path (default: output_mask.png)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="path to model.safetensors "
+                             "(default: HF cache if present)")
+    parser.add_argument("--size", type=int, default=1024,
+                        help="inference resolution (default 1024)")
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"),
+                        default="float32")
+    parser.add_argument("--no-flash", action="store_true",
+                        help="disable the Pallas flash-attention kernel")
+    parser.add_argument("--no-pallas-deform", action="store_true",
+                        help="disable the Pallas deformable-conv kernel")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU execution")
+    args = parser.parse_args(argv)
+
+    ckpt = args.checkpoint or default_checkpoint_path()
+    if ckpt is None:
+        print("error: no checkpoint found. Pass --checkpoint "
+              "path/to/model.safetensors (ZhengPeng7/BiRefNet).",
+              file=sys.stderr)
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import birefnet_tpu as bt
+    from birefnet_tpu import pipeline
+
+    on_tpu = jax.default_backend() == "tpu"
+    use_flash = (on_tpu and not args.no_flash
+                 and "DISABLE_FLASH_ATTN" not in os.environ)
+    compute = bt.ComputeConfig(
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        use_flash_attention=use_flash,
+        use_pallas_deform=on_tpu and not args.no_pallas_deform,
+    )
+    cfg = bt.BiRefNetConfig.swin_l()
+    if args.size != 1024:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, size=(args.size, args.size))
+
+    print(f"Loading model from {ckpt} ...")
+    params = bt.load_checkpoint(ckpt, cfg)
+
+    from PIL import Image
+    img = Image.open(args.image).convert("RGB")
+    orig_w, orig_h = img.size
+    print(f"Input: {args.image} ({orig_w}x{orig_h})")
+
+    frames = jnp.asarray(np.asarray(img, dtype=np.uint8))[None]  # [1,H,W,3]
+    infer = pipeline.make_infer_fn(params, cfg, compute)
+
+    print("Running inference...")
+    t0 = time.time()
+    mask = jax.block_until_ready(infer(frames))
+    print(f"Inference time (incl. compile): {time.time() - t0:.2f}s")
+    t0 = time.time()
+    mask = jax.block_until_ready(infer(frames))
+    print(f"Inference time (steady state): {time.time() - t0:.3f}s")
+
+    # Health-check stats like the reference (reference:
+    # examples/infer_image.rs:79-90).
+    m = np.asarray(mask[0], dtype=np.float32) / 255.0
+    print(f"Mask stats - min: {m.min():.4f}, max: {m.max():.4f}, "
+          f"mean: {m.mean():.4f}")
+
+    Image.fromarray(np.asarray(mask[0])).save(args.output)
+    print(f"Saved mask to: {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,6 +92,55 @@ def resize_nearest(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return x
 
 
+@functools.lru_cache(maxsize=None)
+def _lanczos3_matrix(src: int, dst: int) -> np.ndarray:
+    """Dense [dst, src] Lanczos-3 resize matrix, half-pixel centers,
+    antialiased on downscale — matching the `image` crate's Lanczos3 filter
+    used for the output-mask resize (reference: examples/infer_image.rs:103-108).
+    """
+    a = 3.0
+    scale = src / dst
+    support = a * max(scale, 1.0)
+    m = np.zeros((dst, src), dtype=np.float64)
+    src_idx = np.arange(src, dtype=np.float64)
+
+    def lanczos(t: np.ndarray) -> np.ndarray:
+        t = np.abs(t)
+        out = np.where(
+            t < 1e-8, 1.0,
+            a * np.sin(np.pi * t) * np.sin(np.pi * t / a)
+            / (np.pi * np.pi * t * t))
+        return np.where(t >= a, 0.0, out)
+
+    norm = max(scale, 1.0)
+    for i in range(dst):
+        center = (i + 0.5) * scale - 0.5
+        t = (src_idx - center) / norm
+        weights = np.where(np.abs(src_idx - center) <= support, lanczos(t), 0.0)
+        s = weights.sum()
+        m[i] = weights / s if s != 0 else 0.0
+    return m.astype(np.float32)
+
+
+def resize_lanczos3(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Separable Lanczos-3 resize on NHWC input (two dense matmuls)."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    orig_dtype = x.dtype
+    if h != out_h:
+        mh = jnp.asarray(_lanczos3_matrix(h, out_h), dtype=orig_dtype)
+        x = jnp.einsum("oh,bhwc->bowc", mh, x,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32).astype(orig_dtype)
+    if w != out_w:
+        mw = jnp.asarray(_lanczos3_matrix(w, out_w), dtype=orig_dtype)
+        x = jnp.einsum("ow,bhwc->bhoc", mw, x,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32).astype(orig_dtype)
+    return x
+
+
 def resize_bilinear_half_pixel(
     x: jax.Array, out_h: int, out_w: int, antialias: bool = True
 ) -> jax.Array:

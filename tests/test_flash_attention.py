@@ -1,0 +1,89 @@
+"""Pallas flash window-attention parity vs the naive path.
+
+Mirrors the reference's flash-vs-naive self-consistency suite
+(reference: examples/test_flash_bias.rs): same-scenario structure (simple
+bias, real Swin-L window shape, shifted-window mask, full BiRefNet config)
+with its 0.01 / 0.1 max-abs-diff thresholds as outer bounds — the fused
+kernel's f32 math is far tighter in practice.
+
+On CPU the kernel runs in Pallas interpret mode; the compiled-TPU run is
+exercised by benchmarks/bench_attention.py and the TPU test job.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from birefnet_tpu.ops.attention import window_attention
+from birefnet_tpu.ops.pallas.flash_window_attn import flash_window_attention
+
+
+def _rand(rng, shape, dtype=np.float32):
+    return rng.normal(size=shape).astype(dtype)
+
+
+def _run_pair(rng, b_, heads, n, d, nw=None, dtype=jnp.float32):
+    q = jnp.asarray(_rand(rng, (b_, heads, n, d)), dtype)
+    k = jnp.asarray(_rand(rng, (b_, heads, n, d)), dtype)
+    v = jnp.asarray(_rand(rng, (b_, heads, n, d)), dtype)
+    bias = jnp.asarray(_rand(rng, (heads, n, n)), jnp.float32)
+    mask = None
+    if nw is not None:
+        m = (rng.integers(0, 2, size=(nw, n, n)) * -100.0).astype(np.float32)
+        mask = jnp.asarray(m)
+    naive = window_attention(q, k, v, bias, mask)
+    flash = flash_window_attention(q, k, v, bias, mask, interpret=True)
+    return np.asarray(naive, np.float32), np.asarray(flash, np.float32)
+
+
+def test_simple_bias(rng):
+    """Scenario 1 of test_flash_bias.rs: small config, bias only."""
+    naive, flash = _run_pair(rng, 4, 2, 16, 8)
+    assert np.abs(naive - flash).max() < 0.01  # reference threshold
+    np.testing.assert_allclose(flash, naive, atol=1e-5, rtol=1e-5)
+
+
+def test_swin_l_stage0_shape(rng):
+    """Scenario 3: the real Swin-L stage-0 window config — 484 windows x
+    144 tokens x head_dim 32 (reference: examples/bench_swin_attn.rs:10-18),
+    reduced to 121 windows to keep interpret-mode runtime sane."""
+    naive, flash = _run_pair(rng, 121, 6, 144, 32)
+    assert np.abs(naive - flash).max() < 0.1  # reference threshold
+    np.testing.assert_allclose(flash, naive, atol=1e-4, rtol=1e-4)
+    # All-zeros-output failure detector (reference: test_flash_bias.rs:60-61).
+    assert np.abs(flash).max() > 0
+
+
+def test_shifted_window_mask(rng):
+    """Scenario 4: shifted-window attention with per-window mask."""
+    naive, flash = _run_pair(rng, 36, 4, 144, 32, nw=9)
+    np.testing.assert_allclose(flash, naive, atol=1e-4, rtol=1e-4)
+
+
+def test_mask_period_batching(rng):
+    """B_ = batch * nW with batch > 1: mask must repeat with period nW."""
+    naive, flash = _run_pair(rng, 8, 2, 16, 8, nw=4)
+    np.testing.assert_allclose(flash, naive, atol=1e-5, rtol=1e-5)
+
+
+def test_bf16(rng):
+    """bf16 inputs, f32 softmax: must stay within bf16 noise of the f32
+    naive path."""
+    q32, f32flash = _run_pair(rng, 16, 2, 144, 32, nw=4, dtype=jnp.float32)
+    _, bf16flash = _run_pair(
+        np.random.default_rng(0), 16, 2, 144, 32, nw=4, dtype=jnp.bfloat16)
+    # separate rngs -> just check self-consistency on the same inputs:
+    rng2 = np.random.default_rng(42)
+    q = _rand(rng2, (16, 2, 144, 32))
+    k = _rand(rng2, (16, 2, 144, 32))
+    v = _rand(rng2, (16, 2, 144, 32))
+    bias = _rand(rng2, (2, 144, 144))
+    naive = window_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias))
+    flash_bf16 = flash_window_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(bias), interpret=True)
+    diff = np.abs(np.asarray(flash_bf16, np.float32) - np.asarray(naive))
+    assert diff.max() < 0.1  # reference's large-config threshold
