@@ -37,7 +37,7 @@ def test_resize_align_corners_matches_torch(rng, src, dst):
     want = F.interpolate(
         torch.from_numpy(x).permute(0, 3, 1, 2), size=(dst, dst + 2),
         mode="bilinear", align_corners=True).permute(0, 2, 3, 1).numpy()
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
 @pytest.mark.parametrize("src,dst", [(1, 8), (4, 8), (8, 4), (3, 7)])
