@@ -1,0 +1,61 @@
+"""Shared benchmark utilities.
+
+Timing methodology: this environment's TPU tunnel acks dispatches before
+completion, so `block_until_ready` under-measures. All benchmarks therefore
+time N data-dependent chained iterations inside one jitted fori_loop and
+divide by N after a host readback — the TPU-native analog of the reference's
+read-back-a-scalar sync idiom (reference: examples/bench_inference.rs:9-12).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def time_chained(fn: Callable, feedback: Callable, x0, iters: int = 20,
+                 repeats: int = 3) -> float:
+    """Median seconds per call of `fn`, measured via a chained fori_loop.
+
+    fn: x -> y; feedback: y -> x' (maps output back to an input so iterations
+    are data-dependent and cannot be overlapped or elided).
+    """
+
+    @jax.jit
+    def chained(x):
+        def body(i, x):
+            return feedback(fn(x))
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = chained(x0)
+    _ = jax.tree.map(np.asarray, out)  # compile + settle
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = jax.tree.map(np.asarray, chained(x0))
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[len(times) // 2]
+
+
+def time_once(fn: Callable, *args, repeats: int = 3) -> float:
+    """Median seconds for a single (non-chainable) call, forcing a readback
+    of a scalar reduction of every output."""
+    f = jax.jit(fn)
+
+    def run():
+        out = f(*args)
+        leaves = jax.tree.leaves(out)
+        return float(sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                         for l in leaves))
+
+    run()  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]

@@ -151,11 +151,32 @@ def basic_layer_forward(
     # Trace-time constant SW-MSA mask [nW, N, N] (reference: src/swin.rs:603-655).
     attn_mask = jnp.asarray(W.sw_msa_mask(hp, wp, window_size, shift_size))
 
-    for j in range(depth):
-        block_shift = 0 if j % 2 == 0 else shift_size
-        x = swin_block_forward(
-            params[f"blocks_{j}"], x, window_size, block_shift, num_heads,
-            attn_mask, compute)
+    if depth > 2 and depth % 2 == 0:
+        # Deep stages (Swin-L stage 2: 18 blocks) run as lax.scan over
+        # [no-shift, shift] block pairs with stacked params — the pair body
+        # compiles ONCE instead of depth/2 times, cutting XLA compile time
+        # ~9x for the stage while keeping numerics identical.
+        even = [params[f"blocks_{j}"] for j in range(0, depth, 2)]
+        odd = [params[f"blocks_{j}"] for j in range(1, depth, 2)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *even)
+        stacked_odd = jax.tree.map(lambda *xs: jnp.stack(xs), *odd)
+
+        def pair_body(x, pair_params):
+            p_even, p_odd = pair_params
+            x = swin_block_forward(
+                p_even, x, window_size, 0, num_heads, attn_mask, compute)
+            x = swin_block_forward(
+                p_odd, x, window_size, shift_size, num_heads, attn_mask,
+                compute)
+            return x, None
+
+        x, _ = jax.lax.scan(pair_body, x, (stacked, stacked_odd))
+    else:
+        for j in range(depth):
+            block_shift = 0 if j % 2 == 0 else shift_size
+            x = swin_block_forward(
+                params[f"blocks_{j}"], x, window_size, block_shift, num_heads,
+                attn_mask, compute)
 
     x_out = x
     if downsample:

@@ -1,0 +1,60 @@
+"""Data loader tests: batching, padding, prefetch, decode parity."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from birefnet_tpu.loader import BatchLoader, load_frame
+from birefnet_tpu.utils import native
+
+
+@pytest.fixture()
+def image_files(tmp_path, rng):
+    paths = []
+    for i, (h, w) in enumerate([(50, 70), (128, 128), (31, 45), (200, 100),
+                                (64, 64)]):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    return paths
+
+
+def test_load_frame_resizes(image_files):
+    frame, orig = load_frame(image_files[0], 32)
+    assert frame.shape == (32, 32, 3) and frame.dtype == np.uint8
+    assert orig == (50, 70)
+
+
+def test_load_frame_array_passthrough(rng):
+    arr = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    frame, orig = load_frame(arr, 32)
+    np.testing.assert_array_equal(frame, arr)
+
+
+def test_batch_loader_shapes_and_padding(image_files):
+    loader = BatchLoader(image_files, batch_size=2, size=32)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3
+    for frames, sizes in batches[:-1]:
+        assert frames.shape == (2, 32, 32, 3)
+        assert len(sizes) == 2
+    # Last batch: 1 real image + zero pad.
+    frames, sizes = batches[-1]
+    assert frames.shape == (2, 32, 32, 3)
+    assert len(sizes) == 1
+    assert (frames[1] == 0).all()
+
+
+def test_batch_loader_drop_remainder(image_files):
+    loader = BatchLoader(image_files, batch_size=2, size=32,
+                         drop_remainder=True)
+    assert len(list(loader)) == len(loader) == 2
+
+
+def test_batch_matches_single(image_files):
+    loader = BatchLoader(image_files[:2], batch_size=2, size=48)
+    (frames, _), = list(loader)
+    for i in range(2):
+        want, _ = load_frame(image_files[i], 48)
+        np.testing.assert_array_equal(frames[i], want)
