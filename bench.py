@@ -31,6 +31,15 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+    # Persistent compile cache: the full-model XLA compile is expensive in
+    # this environment; cache hits make repeat bench runs fast.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import birefnet_tpu as bt
     from birefnet_tpu import pipeline
 
