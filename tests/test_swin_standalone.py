@@ -1,0 +1,88 @@
+"""Standalone Swin backbone tests (the reference's test_swin example analog).
+
+The reference's `examples/test_swin.rs` builds swin_t with random weights on
+256x256 and checks the 4 stage shapes (reference: examples/test_swin.rs:53-71,
+prints only — we assert). Also covers swin_t parity vs the torch oracle and
+the spatially-sharded full model.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import birefnet_tpu as bt
+from birefnet_tpu.configs import SwinConfig
+from birefnet_tpu.models import swin as bswin
+from birefnet_tpu.params import _swin, _swin_entries, _Source
+from tests.torch_ref.birefnet_torch import SwinTransformer as TorchSwin
+
+
+def _random_swin_ckpt(cfg: SwinConfig, seed=0, prefix="bb"):
+    rng = np.random.default_rng(seed)
+    return {name: rng.normal(0, 0.05, size=shape).astype(np.float32)
+            for name, shape in _swin_entries(prefix, cfg)}
+
+
+def init_swin_params(cfg: SwinConfig, seed=0):
+    """Random standalone-backbone params (test_swin.rs's VarMap analog)."""
+    ckpt = _random_swin_ckpt(cfg, seed)
+    return jax.tree.map(jnp.asarray, _swin(_Source(ckpt), "bb", cfg))
+
+
+def test_swin_t_stage_shapes():
+    """swin_t on 256^2: stage shapes must be H/4..H/32 with C=96*2^i
+    (reference: examples/test_swin.rs:53-71)."""
+    cfg = SwinConfig.swin_t()
+    params = init_swin_params(cfg, seed=2)
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    outs = bswin.swin_forward(params, cfg, x)
+    expected = [(1, 64, 64, 96), (1, 32, 32, 192),
+                (1, 16, 16, 384), (1, 8, 8, 768)]
+    assert [o.shape for o in outs] == expected
+
+
+def test_swin_t_parity_vs_torch(rng):
+    cfg = SwinConfig.swin_t()
+    ckpt = _random_swin_ckpt(cfg, seed=3)
+    params = jax.tree.map(jnp.asarray, _swin(_Source(ckpt), "bb", cfg))
+
+    tm = TorchSwin(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+                   window_size=7)
+    sd = {k[len("bb."):]: torch.from_numpy(v.copy()) for k, v in ckpt.items()}
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected and not [m for m in missing if "relative_position_index" not in m]
+    tm.eval()
+
+    x = rng.normal(size=(1, 56, 56, 3)).astype(np.float32)
+    outs = bswin.swin_forward(params, cfg, jnp.asarray(x))
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    for i, (o, w) in enumerate(zip(outs, want)):
+        np.testing.assert_allclose(
+            np.asarray(o), w.permute(0, 2, 3, 1).numpy(),
+            atol=2e-4, rtol=1e-3, err_msg=f"stage {i}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatial_sharded_full_model_matches_dense(rng):
+    """Full BiRefNet with H sharded 2-way (GSPMD) == dense result."""
+    from birefnet_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(2, spatial=2)
+    cfg = bt.BiRefNetConfig.swin_l()
+    params = bt.init_params(cfg, seed=4)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32) * 0.3
+
+    want = np.asarray(bt.birefnet.forward_logits(params, cfg, jnp.asarray(x)))
+
+    spec = NamedSharding(mesh, P(None, pmesh.SPATIAL_AXIS, None, None))
+    xs = jax.device_put(jnp.asarray(x), spec)
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    got = np.asarray(jax.jit(
+        lambda p, t: bt.birefnet.forward_logits(p, cfg, t),
+        in_shardings=(NamedSharding(mesh, P()), spec),
+        out_shardings=spec)(ps, xs))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
