@@ -23,6 +23,25 @@ import time
 import numpy as np
 
 
+def _ensure_tpu_or_reexec(max_attempts: int = 8) -> None:
+    """The TPU claim through this environment's relay is sporadically refused
+    at process start; backend registration is once-per-process, so on failure
+    we re-exec ourselves after a pause."""
+    import jax
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        attempt = int(os.environ.get("BENCH_TPU_ATTEMPT", "0"))
+        if attempt >= max_attempts:
+            raise
+        print(f"[bench] TPU init failed ({e}); retry {attempt + 1}",
+              file=sys.stderr)
+        time.sleep(30)
+        os.environ["BENCH_TPU_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     size = int(os.environ.get("BENCH_SIZE", "1024"))
@@ -30,6 +49,7 @@ def main() -> int:
     iters = int(os.environ.get("BENCH_ITERS", "10"))
 
     import jax
+    _ensure_tpu_or_reexec()
     import jax.numpy as jnp
     # Persistent compile cache: the full-model XLA compile is expensive in
     # this environment; cache hits make repeat bench runs fast.
@@ -60,7 +80,15 @@ def main() -> int:
           f"pallas_deform={use_pallas_deform}", file=sys.stderr)
 
     params = bt.init_params(cfg, seed=0)
-    infer = pipeline.make_infer_fn(params, cfg, compute)
+    staged = os.environ.get("BENCH_STAGED", "1") == "1"
+    if staged:
+        # The monolithic 1024^2 program exceeds what this environment's
+        # remote-compile service can build; the staged path compiles in
+        # minutes with negligible steady-state cost (see staged.py).
+        from birefnet_tpu import staged as staged_mod
+        infer = staged_mod.make_staged_infer_fn(params, cfg, compute)
+    else:
+        infer = pipeline.make_infer_fn(params, cfg, compute)
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(

@@ -375,7 +375,9 @@ def load_checkpoint(
         for k in f.keys():
             tensors[k] = f.get_tensor(k)
     tree = build_param_tree(tensors, cfg, strict=strict)
-    return jax.tree.map(jnp.asarray, tree)
+    # One batched transfer (hundreds of individual device_puts are slow and
+    # fragile through a remote-device tunnel).
+    return jax.device_put(tree)
 
 
 # ---------------------------------------------------------------------------
@@ -406,4 +408,4 @@ def random_checkpoint(
 def init_params(cfg: BiRefNetConfig, seed: int = 0) -> Dict:
     """Random jnp param tree (for tests and benchmarks)."""
     tree = build_param_tree(random_checkpoint(cfg, seed), cfg)
-    return jax.tree.map(jnp.asarray, tree)
+    return jax.device_put(tree)

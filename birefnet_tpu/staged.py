@@ -1,0 +1,99 @@
+"""Staged compilation path: the full pipeline as a few smaller jit units.
+
+Numerically identical to pipeline.make_infer_fn's single fused program, but
+compiled as four units (full-scale backbone / half-scale backbone /
+merge+squeeze / decoder+postprocess). The monolithic 1024^2 program is a very
+large XLA compile; this environment's remote-compile service fails on it,
+and cold-start latency matters for serving anyway. The unit boundaries sit at
+natural HBM materialization points (backbone feature maps), so steady-state
+throughput cost is negligible.
+
+This also mirrors the reference's own stage split, whose benchmark drives
+backbone / half-scale backbone / squeeze / decoder independently through
+`pub` fields (reference: src/birefnet.rs:380-385,
+examples/bench_inference.rs:34-85).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .configs import BiRefNetConfig, ComputeConfig
+from .models import birefnet as bmodel
+from .models import decoder as bdec
+from .models import swin as bswin
+from .ops import layers as L
+from .ops.resize import resize_bilinear_align_corners
+from . import pipeline
+
+
+def make_staged_infer_fn(
+    params,
+    cfg: BiRefNetConfig,
+    compute: ComputeConfig = ComputeConfig(),
+    out_size: Optional[Tuple[int, int]] = None,
+    as_uint8: bool = True,
+):
+    """Staged equivalent of pipeline.make_infer_fn:
+    [B, H, W, 3] uint8 -> [B, out_h, out_w] mask."""
+    swin_cfg = cfg.swin_config()
+
+    @jax.jit
+    def pre(frames_u8):
+        return pipeline.preprocess(frames_u8, cfg.size, dtype=compute.dtype)
+
+    @jax.jit
+    def backbone(params_bb, x):
+        # Compiled once per input shape (full and half scale).
+        return bswin.swin_forward(params_bb, swin_cfg, x, compute)
+
+    @jax.jit
+    def half_input(x):
+        b, h, w, _ = x.shape
+        return resize_bilinear_align_corners(x, h // 2, w // 2)
+
+    @jax.jit
+    def merge_squeeze(params, feats, feats_half):
+        # mul_scl_ipt concat + cxt concat + squeeze
+        # (reference: src/birefnet.rs:423-457).
+        x1, x2, x3, x4 = feats
+        if cfg.mul_scl_ipt:
+            ups = [resize_bilinear_align_corners(fh, f.shape[1], f.shape[2])
+                   for f, fh in zip(feats, feats_half)]
+            x1 = jnp.concatenate([x1, ups[0]], axis=-1)
+            x2 = jnp.concatenate([x2, ups[1]], axis=-1)
+            x3 = jnp.concatenate([x3, ups[2]], axis=-1)
+            x4 = jnp.concatenate([x4, ups[3]], axis=-1)
+        if cfg.cxt:
+            h4, w4 = x4.shape[1:3]
+            x4 = jnp.concatenate(
+                [resize_bilinear_align_corners(x1, h4, w4),
+                 resize_bilinear_align_corners(x2, h4, w4),
+                 resize_bilinear_align_corners(x3, h4, w4),
+                 x4], axis=-1)
+        x4 = bmodel.squeeze_module_forward(params["squeeze_module"], x4, compute)
+        return x1, x2, x3, x4
+
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def decode_post(params_dec, x, feats123, x4, oh, ow):
+        x1, x2, x3 = feats123
+        logits = bdec.decoder_forward(
+            params_dec, cfg, x, x1, x2, x3, x4, compute)
+        mask = L.sigmoid(logits)
+        return pipeline.postprocess(mask, oh, ow, as_uint8=as_uint8)
+
+    def infer(frames_u8):
+        b, h, w, _ = frames_u8.shape
+        oh, ow = out_size if out_size is not None else (h, w)
+        x = pre(frames_u8)
+        feats = backbone(params["bb"], x)
+        feats_half = backbone(params["bb"], half_input(x)) \
+            if cfg.mul_scl_ipt else None
+        x1, x2, x3, x4 = merge_squeeze(params, feats, feats_half)
+        return decode_post(params["decoder"], x, (x1, x2, x3), x4, oh, ow)
+
+    return infer
