@@ -67,17 +67,22 @@ def main() -> int:
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1" and on_tpu
     use_pallas_deform = (
         os.environ.get("BENCH_PALLAS_DEFORM", "1") == "1" and on_tpu)
+    # "regular" matches the candle CPU reference the MAE baseline compares
+    # against (see ComputeConfig.deform_mode); "deformable" is the faithful
+    # Metal-path semantics and is gather-bound on TPU.
+    deform_mode = os.environ.get("BENCH_DEFORM_MODE", "regular")
 
     cfg = bt.BiRefNetConfig.swin_l()
     compute = bt.ComputeConfig(
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
         use_flash_attention=use_flash,
         use_pallas_deform=use_pallas_deform,
+        deform_mode=deform_mode,
     )
 
     print(f"[bench] backend={jax.default_backend()} batch={batch} "
           f"size={size} dtype={dtype_name} flash={use_flash} "
-          f"pallas_deform={use_pallas_deform}", file=sys.stderr)
+          f"pallas_deform={use_pallas_deform} deform_mode={deform_mode}", file=sys.stderr)
 
     params = bt.init_params(cfg, seed=0)
     staged = os.environ.get("BENCH_STAGED", "1") == "1"
@@ -95,20 +100,35 @@ def main() -> int:
         rng.integers(0, 256, size=(batch, size, size, 3), dtype=np.uint8))
 
     t0 = time.time()
-    out = jax.block_until_ready(infer(frames))
+    out = infer(frames)
+    _ = np.asarray(out)  # real completion fence (readback)
     print(f"[bench] compile+first run: {time.time() - t0:.1f}s "
           f"out={out.shape} {out.dtype}", file=sys.stderr)
 
-    times = []
-    for _ in range(iters):
+    # Throughput methodology: enqueue `iters` independent inference calls
+    # (the serving pattern — many requests in flight), then fence with ONE
+    # scalar readback that depends on every output. block_until_ready is not
+    # a reliable fence through this environment's device tunnel, and bulk
+    # mask readback runs at ~20 MB/s through it (a tunnel artifact that a
+    # real TPU host does not have), so masks stay on device and the fence is
+    # a sum over all of them.
+    fence = jax.jit(lambda outs: sum(jnp.sum(o.astype(jnp.uint32))
+                                     for o in outs))
+
+    def run_pipelined(n):
+        outs = [infer(frames) for _ in range(n)]
+        return int(fence(outs))
+
+    run_pipelined(iters)  # compile the fence at the measured width
+    reps = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(infer(frames))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    median = sorted(times)[len(times) // 2]
+        run_pipelined(iters)
+        reps.append((time.perf_counter() - t0) / iters)
+    median = sorted(reps)[len(reps) // 2]
     imgs_per_sec = batch / median
 
-    print(f"[bench] per-iter: best={best * 1e3:.1f}ms "
+    print(f"[bench] per-iter over {iters} chained: best={min(reps) * 1e3:.1f}ms "
           f"median={median * 1e3:.1f}ms -> {imgs_per_sec:.2f} img/s",
           file=sys.stderr)
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
-from benchmarks.common import time_chained  # noqa: E402
+from benchmarks.common import time_chained, ensure_tpu_or_reexec  # noqa: E402
 from birefnet_tpu.ops.attention import window_attention  # noqa: E402
 from birefnet_tpu.ops.pallas.flash_window_attn import (  # noqa: E402
     flash_window_attention,
@@ -31,6 +31,7 @@ CONFIGS = [
 
 
 def main():
+    ensure_tpu_or_reexec()
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16
     print(f"backend={jax.default_backend()} dtype=bfloat16")

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
-from benchmarks.common import time_once  # noqa: E402
+from benchmarks.common import time_once, ensure_tpu_or_reexec  # noqa: E402
 import birefnet_tpu as bt  # noqa: E402
 from birefnet_tpu.models import swin as bswin  # noqa: E402
 from birefnet_tpu.models import birefnet as bmodel  # noqa: E402
@@ -27,6 +27,7 @@ from birefnet_tpu.ops.resize import resize_bilinear_align_corners  # noqa
 
 
 def main():
+    ensure_tpu_or_reexec()
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32

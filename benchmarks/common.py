@@ -9,12 +9,30 @@ read-back-a-scalar sync idiom (reference: examples/bench_inference.rs:9-12).
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from typing import Callable
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def ensure_tpu_or_reexec(max_attempts: int = 8) -> None:
+    """TPU claims through this environment's relay are sporadically refused at
+    process start; registration is once-per-process, so retry by re-exec."""
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        attempt = int(os.environ.get("BENCH_TPU_ATTEMPT", "0"))
+        if attempt >= max_attempts:
+            raise
+        print(f"[bench] TPU init failed; retry {attempt + 1}", file=sys.stderr)
+        time.sleep(30)
+        os.environ["BENCH_TPU_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def time_chained(fn: Callable, feedback: Callable, x0, iters: int = 20,

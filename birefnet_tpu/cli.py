@@ -58,6 +58,10 @@ def main(argv=None) -> int:
                         help="disable the Pallas flash-attention kernel")
     parser.add_argument("--no-pallas-deform", action="store_true",
                         help="disable the Pallas deformable-conv kernel")
+    parser.add_argument("--deform-mode", choices=("deformable", "regular"),
+                        default="deformable",
+                        help="deformable = true sampling (reference Metal "
+                             "path); regular = candle-CPU-compat plain conv")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU execution")
     args = parser.parse_args(argv)
@@ -84,6 +88,7 @@ def main(argv=None) -> int:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         use_flash_attention=use_flash,
         use_pallas_deform=on_tpu and not args.no_pallas_deform,
+        deform_mode=args.deform_mode,
     )
     cfg = bt.BiRefNetConfig.swin_l()
     if args.size != 1024:

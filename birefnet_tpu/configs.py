@@ -165,6 +165,17 @@ class ComputeConfig:
     use_flash_attention: bool = False
     # Use the Pallas deformable-sampling kernel (N1) when available.
     use_pallas_deform: bool = False
+    # Deformable-conv semantics:
+    #   "deformable" — true modulated deformable sampling (the reference's
+    #     Metal-path behavior and the upstream PyTorch model;
+    #     reference: src/aspp.rs:59-165).
+    #   "regular" — offsets/modulator ignored, plain conv. This is EXACTLY
+    #     the reference's CPU-path behavior (reference: src/aspp.rs:183-185),
+    #     which is also what the driver's mask-MAE metric compares against
+    #     (BASELINE.json infer_image config runs the reference "on CPU").
+    #     All-MXU; much faster on TPU (XLA gather throughput bounds the
+    #     deformable path).
+    deform_mode: str = "deformable"
 
     def with_overrides(self, **kw) -> "ComputeConfig":
         return dataclasses.replace(self, **kw)

@@ -45,6 +45,12 @@ def deform_conv_aspp_forward(
     2*sigmoid(x) (reference: src/aspp.rs:173-174); regular_conv supplies the
     (bias-free) sampling weights (reference: src/aspp.rs:44-45).
     """
+    if compute.deform_mode == "regular":
+        # candle-CPU-compat: the reference computes offsets/modulator then
+        # discards them on CPU (reference: src/aspp.rs:183-185); skipping
+        # them entirely is numerically identical.
+        return L.conv2d(params["regular_conv"], x, stride=stride,
+                        padding=padding)
     offset = L.conv2d(params["offset_conv"], x, stride=stride, padding=padding)
     mod_raw = L.conv2d(params["modulator_conv"], x, stride=stride, padding=padding)
     mask = 2.0 * jax.nn.sigmoid(mod_raw.astype(jnp.float32))

@@ -31,12 +31,20 @@ def basic_lat_blk_forward(params, x: jax.Array) -> jax.Array:
 
 
 def basic_dec_blk_forward(
-    params, x: jax.Array, compute: ComputeConfig,
+    params, x, compute: ComputeConfig,
     use_aspp_deformable: bool = True,
 ) -> jax.Array:
     """conv_in -> BN -> ReLU -> [ASPPDeformable] -> conv_out -> BN, no final
-    ReLU (reference: src/decoder.rs:126-141)."""
-    x = L.conv2d(params["conv_in"], x, padding=1)
+    ReLU (reference: src/decoder.rs:126-141).
+
+    `x` may be a list of NHWC tensors standing for their channel concat;
+    conv_in is then computed as split partial convs (exact, no concat
+    materialization — see ops.layers.conv2d_concat).
+    """
+    if isinstance(x, (list, tuple)):
+        x = L.conv2d_concat(params["conv_in"], list(x), padding=1)
+    else:
+        x = L.conv2d(params["conv_in"], x, padding=1)
     x = L.batch_norm_inference(params["bn_in"], x)
     x = L.relu(x)
     if use_aspp_deformable:
@@ -123,7 +131,7 @@ def decoder_forward(
 
     # Stage 4 (reference: src/birefnet.rs:322-334).
     p4 = basic_dec_blk_forward(
-        params["decoder_block4"], jnp.concatenate([x4, ipt5], axis=-1), compute,
+        params["decoder_block4"], [x4, ipt5], compute,
         cfg.use_aspp_deformable)
     p4 = gdt_gate(p4, "4")
     p3_in = (resize_bilinear_align_corners(p4, h3, w3)
@@ -132,8 +140,8 @@ def decoder_forward(
     # Stage 3 (reference: src/birefnet.rs:336-349).
     ipt4_up = resize_bilinear_align_corners(ipt4, h3, w3)
     p3 = basic_dec_blk_forward(
-        params["decoder_block3"], jnp.concatenate([p3_in, ipt4_up], axis=-1),
-        compute, cfg.use_aspp_deformable)
+        params["decoder_block3"], [p3_in, ipt4_up], compute,
+        cfg.use_aspp_deformable)
     p3 = gdt_gate(p3, "3")
     p2_in = (resize_bilinear_align_corners(p3, h2, w2)
              + basic_lat_blk_forward(params["lateral_block3"], x2))
@@ -141,8 +149,8 @@ def decoder_forward(
     # Stage 2 (reference: src/birefnet.rs:351-364).
     ipt3_up = resize_bilinear_align_corners(ipt3, h2, w2)
     p2 = basic_dec_blk_forward(
-        params["decoder_block2"], jnp.concatenate([p2_in, ipt3_up], axis=-1),
-        compute, cfg.use_aspp_deformable)
+        params["decoder_block2"], [p2_in, ipt3_up], compute,
+        cfg.use_aspp_deformable)
     p2 = gdt_gate(p2, "2")
     p1_in = (resize_bilinear_align_corners(p2, h1, w1)
              + basic_lat_blk_forward(params["lateral_block2"], x1))
@@ -150,11 +158,20 @@ def decoder_forward(
     # Stage 1 (reference: src/birefnet.rs:366-369).
     ipt2_up = resize_bilinear_align_corners(ipt2, h1, w1)
     p1 = basic_dec_blk_forward(
-        params["decoder_block1"], jnp.concatenate([p1_in, ipt2_up], axis=-1),
-        compute, cfg.use_aspp_deformable)
+        params["decoder_block1"], [p1_in, ipt2_up], compute,
+        cfg.use_aspp_deformable)
 
-    # Final head (reference: src/birefnet.rs:371-375).
-    p1_up = resize_bilinear_align_corners(p1, h, w)
-    ipt1_up = resize_bilinear_align_corners(ipt1, h, w)
-    final_in = jnp.concatenate([p1_up, ipt1_up], axis=-1)  # [B, H, W, 240]
-    return L.conv2d(params["conv_out1"], final_in)
+    # Final head (reference: src/birefnet.rs:371-375):
+    # conv_out1 is a 1x1 conv over concat(p1_up, ipt1_up). A 1x1 conv commutes
+    # with bilinear resize and distributes over the concat, so we convolve
+    # each branch to 1 channel FIRST and upsample 1 channel instead of 240 —
+    # exact arithmetic, ~240x less full-resolution traffic.
+    c_p1 = p1.shape[-1]
+    k = params["conv_out1"]["kernel"]
+    logit_p1 = L.conv2d({"kernel": k[:, :, :c_p1, :]}, p1)
+    logit_ipt1 = L.conv2d({"kernel": k[:, :, c_p1:, :]}, ipt1)
+    logits = (resize_bilinear_align_corners(logit_p1, h, w)
+              + resize_bilinear_align_corners(logit_ipt1, h, w))
+    if "bias" in params["conv_out1"]:
+        logits = logits + params["conv_out1"]["bias"].astype(logits.dtype)
+    return logits

@@ -60,6 +60,41 @@ def conv2d(
     return y.astype(x.dtype)
 
 
+def conv2d_concat(
+    params: Params,
+    xs,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+) -> jax.Array:
+    """conv2d over the channel-concatenation of `xs` WITHOUT materializing the
+    concat: conv(concat(a, b)) == conv_a(a) + conv_b(b) with the kernel split
+    along its input-channel axis. Saves a full read+write pass over the
+    concatenated activation (the decoder's big tensors are exactly these
+    concats; reference: src/birefnet.rs:323,338,353,368,374)."""
+    kernel = params["kernel"]
+    out = None
+    off = 0
+    for x in xs:
+        c = x.shape[-1]
+        sub = kernel[:, :, off:off + c, :].astype(x.dtype)
+        y = lax.conv_general_dilated(
+            x, sub,
+            window_strides=(stride, stride),
+            padding=((padding, padding), (padding, padding)),
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        out = y if out is None else out + y
+        off += c
+    assert off == kernel.shape[2], "input channels must cover the kernel"
+    if "bias" in params:
+        out = out + params["bias"].astype(jnp.float32)
+    return out.astype(xs[0].dtype)
+
+
 def layer_norm(params: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """LayerNorm over the last axis, statistics in float32
     (reference uses eps=1e-5 everywhere, e.g. src/swin.rs:333)."""

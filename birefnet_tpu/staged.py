@@ -56,10 +56,10 @@ def make_staged_infer_fn(
         b, h, w, _ = x.shape
         return resize_bilinear_align_corners(x, h // 2, w // 2)
 
-    @jax.jit
-    def merge_squeeze(params, feats, feats_half):
-        # mul_scl_ipt concat + cxt concat + squeeze
-        # (reference: src/birefnet.rs:423-457).
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def merge_decode_post(params, x, feats, feats_half, oh, ow):
+        # mul_scl_ipt concat + cxt concat + squeeze + decoder + postprocess
+        # in one unit (reference: src/birefnet.rs:423-460).
         x1, x2, x3, x4 = feats
         if cfg.mul_scl_ipt:
             ups = [resize_bilinear_align_corners(fh, f.shape[1], f.shape[2])
@@ -76,13 +76,8 @@ def make_staged_infer_fn(
                  resize_bilinear_align_corners(x3, h4, w4),
                  x4], axis=-1)
         x4 = bmodel.squeeze_module_forward(params["squeeze_module"], x4, compute)
-        return x1, x2, x3, x4
-
-    @functools.partial(jax.jit, static_argnums=(4, 5))
-    def decode_post(params_dec, x, feats123, x4, oh, ow):
-        x1, x2, x3 = feats123
         logits = bdec.decoder_forward(
-            params_dec, cfg, x, x1, x2, x3, x4, compute)
+            params["decoder"], cfg, x, x1, x2, x3, x4, compute)
         mask = L.sigmoid(logits)
         return pipeline.postprocess(mask, oh, ow, as_uint8=as_uint8)
 
@@ -93,7 +88,6 @@ def make_staged_infer_fn(
         feats = backbone(params["bb"], x)
         feats_half = backbone(params["bb"], half_input(x)) \
             if cfg.mul_scl_ipt else None
-        x1, x2, x3, x4 = merge_squeeze(params, feats, feats_half)
-        return decode_post(params["decoder"], x, (x1, x2, x3), x4, oh, ow)
+        return merge_decode_post(params, x, feats, feats_half, oh, ow)
 
     return infer

@@ -143,3 +143,22 @@ def test_loader_ignorable_keys_ok(ckpt):
     ok["bb.layers.0.blocks.0.attn.relative_position_index"] = np.zeros(
         (144, 144), np.float32)
     bt.build_param_tree(ok, CFG)  # should not raise
+
+
+def test_regular_deform_mode_matches_reference_cpu_semantics(rng, jax_params,
+                                                             torch_model):
+    """deform_mode="regular" must equal the candle CPU path: offsets ignored,
+    plain regular_conv (reference: src/aspp.rs:183-185)."""
+    import torch.nn.functional as F
+    x = rng.normal(size=(1, 8, 8, 64)).astype(np.float32)
+    p = jax_params["squeeze_module"]["blocks_0"]["dec_att"]
+    compute = bt.ComputeConfig(deform_mode="regular")
+    got = np.asarray(baspp.aspp_module_deformable_forward(
+        {"atrous_conv": p["aspp_deforms_2"]["atrous_conv"],
+         "bn": p["aspp_deforms_2"]["bn"]}, jnp.asarray(x), 7, 3, compute))
+    tmod = torch_model.squeeze_module[0].dec_att.aspp_deforms[2]
+    with torch.no_grad():
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        y = F.conv2d(tx, tmod.atrous_conv.regular_conv.weight, padding=3)
+        want = F.relu(tmod.bn(y)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
