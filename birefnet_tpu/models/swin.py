@@ -60,18 +60,21 @@ def window_attention_forward(
     head_dim = c // num_heads
 
     qkv = L.linear(params["qkv"], x)  # [B_, N, 3C]
-    qkv = qkv.reshape(b_, n, 3, num_heads, head_dim)
-    qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B_, heads, N, hd]
-    q, k, v = qkv[0], qkv[1], qkv[2]
-
     bias = params["cached_bias"]
-    if compute.use_flash_attention:
-        from ..ops.pallas import flash_window_attn
-        out = flash_window_attn.flash_window_attention(q, k, v, bias, mask)
-    else:
-        out = attn_ops.window_attention(q, k, v, bias, mask)
 
-    out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+    if compute.use_flash_attention:
+        # Fully fused path: the kernel consumes the packed qkv projection
+        # directly (per-head lane slices in VMEM), so the [3, B_, heads, N, d]
+        # transpose and the output re-pack never materialize in HBM.
+        from ..ops.pallas import flash_window_attn
+        out = flash_window_attn.flash_window_attention_qkv(
+            qkv, bias, mask, num_heads)
+    else:
+        qkv5 = qkv.reshape(b_, n, 3, num_heads, head_dim)
+        qkv5 = qkv5.transpose(2, 0, 3, 1, 4)  # [3, B_, heads, N, hd]
+        q, k, v = qkv5[0], qkv5[1], qkv5[2]
+        out = attn_ops.window_attention(q, k, v, bias, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
     return L.linear(params["proj"], out)
 
 

@@ -130,6 +130,95 @@ def _flash_plain(q, k, v, bias, interpret=False):
     )(q, k, v, bias)
 
 
+def _kernel_qkv(qkv_ref, bias_ref, mask_ref, o_ref, *, heads, d, scale,
+                masked):
+    """All-heads fused kernel on packed qkv [BW, N, 3C].
+
+    Per head: static 32-lane slices of the packed projection (no 5D
+    transpose ever materializes), QK^T + bias (+ mask) + softmax + PV, output
+    written back into the packed [BW, N, C] layout the proj matmul consumes.
+    """
+    c = heads * d
+    for h in range(heads):
+        q = qkv_ref[:, :, h * d:(h + 1) * d] * scale
+        k = qkv_ref[:, :, c + h * d:c + (h + 1) * d]
+        v = qkv_ref[:, :, 2 * c + h * d:2 * c + (h + 1) * d]
+        extra = bias_ref[h][None].astype(jnp.float32)
+        if masked:
+            extra = extra + mask_ref[...].astype(jnp.float32)
+        o_ref[:, :, h * d:(h + 1) * d] = _attn_core(q, k, v, extra,
+                                                    o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _flash_qkv(qkv, bias, mask, heads, interpret=False):
+    b_, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    nw = mask.shape[0] if mask is not None else 1
+    # VMEM: qkv block + bias (full, f32) + mask block + per-head scores
+    # temporaries (the unrolled head loop makes the compiler co-allocate
+    # several). Keep the qkv block small so the total stays well under the
+    # 16MB scoped budget.
+    cap = max(1, (2 * 1024 * 1024) // (n * c3 * 2))
+    bw = 1
+    for cand in range(1, min(16, cap) + 1):
+        if b_ % cand == 0 and (mask is None or nw % cand == 0):
+            bw = cand
+
+    in_specs = [
+        pl.BlockSpec((bw, n, c3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # full bias
+    ]
+    args = [qkv, bias]
+    if mask is not None:
+        period = nw // bw
+        in_specs.append(
+            pl.BlockSpec((bw, n, n), lambda i: (i % period, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(mask)
+        kern = functools.partial(_kernel_qkv, heads=heads, d=d,
+                                 scale=d ** -0.5, masked=True)
+    else:
+        def kern(qkv_ref, bias_ref, o_ref):
+            _kernel_qkv(qkv_ref, bias_ref, None, o_ref, heads=heads, d=d,
+                        scale=d ** -0.5, masked=False)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b_, n, c), qkv.dtype),
+        grid=(b_ // bw,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bw, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def flash_window_attention_qkv(
+    qkv: jax.Array,
+    bias: jax.Array,
+    mask: Optional[jax.Array] = None,
+    num_heads: int = 1,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused window attention on the packed qkv projection.
+
+    Args:
+      qkv: [B_, N, 3C] — the raw qkv linear output (features ordered
+        [q|k|v] x [head-major], the torch convention).
+      bias: [heads, N, N]; mask: optional [nW, N, N].
+    Returns [B_, N, C], ready for the output projection.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash_qkv(qkv, bias, mask, num_heads, interpret=interpret)
+
+
 def flash_window_attention(
     q: jax.Array,
     k: jax.Array,

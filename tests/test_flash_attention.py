@@ -87,3 +87,34 @@ def test_bf16(rng):
         jnp.asarray(v, jnp.bfloat16), jnp.asarray(bias), interpret=True)
     diff = np.abs(np.asarray(flash_bf16, np.float32) - np.asarray(naive))
     assert diff.max() < 0.1  # reference's large-config threshold
+
+
+def test_qkv_packed_kernel_matches_naive(rng):
+    """The all-heads packed-qkv kernel must match the naive path."""
+    from birefnet_tpu.ops.pallas.flash_window_attn import (
+        flash_window_attention_qkv)
+    b_, heads, n, d, nw = 12, 6, 144, 32, 4
+    c = heads * d
+    qkv = _rand(rng, (b_, n, 3 * c))
+    bias = _rand(rng, (heads, n, n))
+    m = (rng.integers(0, 2, size=(nw, n, n)) * -100.0).astype(np.float32)
+
+    qkv5 = qkv.reshape(b_, n, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    naive = window_attention(
+        jnp.asarray(qkv5[0]), jnp.asarray(qkv5[1]), jnp.asarray(qkv5[2]),
+        jnp.asarray(bias), jnp.asarray(m))
+    naive = np.asarray(naive).transpose(0, 2, 1, 3).reshape(b_, n, c)
+
+    got = np.asarray(flash_window_attention_qkv(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(m), heads,
+        interpret=True))
+    np.testing.assert_allclose(got, naive, atol=1e-4, rtol=1e-4)
+
+    # No-mask variant
+    naive2 = window_attention(
+        jnp.asarray(qkv5[0]), jnp.asarray(qkv5[1]), jnp.asarray(qkv5[2]),
+        jnp.asarray(bias), None)
+    naive2 = np.asarray(naive2).transpose(0, 2, 1, 3).reshape(b_, n, c)
+    got2 = np.asarray(flash_window_attention_qkv(
+        jnp.asarray(qkv), jnp.asarray(bias), None, heads, interpret=True))
+    np.testing.assert_allclose(got2, naive2, atol=1e-4, rtol=1e-4)
