@@ -33,6 +33,7 @@ def basic_lat_blk_forward(params, x: jax.Array) -> jax.Array:
 def basic_dec_blk_forward(
     params, x, compute: ComputeConfig,
     use_aspp_deformable: bool = True,
+    return_pre_out: bool = False,
 ) -> jax.Array:
     """conv_in -> BN -> ReLU -> [ASPPDeformable] -> conv_out -> BN, no final
     ReLU (reference: src/decoder.rs:126-141).
@@ -40,6 +41,8 @@ def basic_dec_blk_forward(
     `x` may be a list of NHWC tensors standing for their channel concat;
     conv_in is then computed as split partial convs (exact, no concat
     materialization — see ops.layers.conv2d_concat).
+    `return_pre_out` stops before conv_out/bn_out (used by the final-head
+    fold, which absorbs them into a 1-channel conv).
     """
     if isinstance(x, (list, tuple)):
         x = L.conv2d_concat(params["conv_in"], list(x), padding=1)
@@ -49,6 +52,8 @@ def basic_dec_blk_forward(
     x = L.relu(x)
     if use_aspp_deformable:
         x = aspp_deformable_forward(params["dec_att"], x, compute)
+    if return_pre_out:
+        return x
     x = L.conv2d(params["conv_out"], x, padding=1)
     return L.batch_norm_inference(params["bn_out"], x)
 
@@ -121,7 +126,9 @@ def decoder_forward(
     ipt4 = simple_convs_forward(params["ipt_blk4"], image2patches(x, h // 16, w // 16))
     ipt3 = simple_convs_forward(params["ipt_blk3"], image2patches(x, h // 8, w // 8))
     ipt2 = simple_convs_forward(params["ipt_blk2"], image2patches(x, h // 4, w // 4))
-    ipt1 = simple_convs_forward(params["ipt_blk1"], x)
+    # ipt1 feeds ONLY the final head; its conv_out is folded into the head
+    # below, so only the first conv (3->64) runs at full resolution.
+    ipt1_hidden = L.conv2d(params["ipt_blk1"]["conv1"], x, padding=1)
 
     def gdt_gate(p, stage: str) -> jax.Array:
         """p * sigmoid(conv1x1(GdtConvs(p))) (reference: src/birefnet.rs:327-329)."""
@@ -155,21 +162,43 @@ def decoder_forward(
     p1_in = (resize_bilinear_align_corners(p2, h1, w1)
              + basic_lat_blk_forward(params["lateral_block2"], x1))
 
-    # Stage 1 (reference: src/birefnet.rs:366-369).
+    # Stage 1 (reference: src/birefnet.rs:366-369); stop before conv_out —
+    # it is folded into the head below.
     ipt2_up = resize_bilinear_align_corners(ipt2, h1, w1)
-    p1 = basic_dec_blk_forward(
+    p1_feat = basic_dec_blk_forward(
         params["decoder_block1"], [p1_in, ipt2_up], compute,
-        cfg.use_aspp_deformable)
+        cfg.use_aspp_deformable, return_pre_out=True)
 
     # Final head (reference: src/birefnet.rs:371-375):
-    # conv_out1 is a 1x1 conv over concat(p1_up, ipt1_up). A 1x1 conv commutes
-    # with bilinear resize and distributes over the concat, so we convolve
-    # each branch to 1 channel FIRST and upsample 1 channel instead of 240 —
-    # exact arithmetic, ~240x less full-resolution traffic.
-    c_p1 = p1.shape[-1]
-    k = params["conv_out1"]["kernel"]
-    logit_p1 = L.conv2d({"kernel": k[:, :, :c_p1, :]}, p1)
-    logit_ipt1 = L.conv2d({"kernel": k[:, :, c_p1:, :]}, ipt1)
+    # conv_out1 is a 1x1 conv over concat(p1_up, ipt1_up). It is EXACTLY
+    # absorbable (1x1 convs have no spatial extent, so unlike 3x3-with-3x3
+    # composition there is no border discrepancy):
+    #   - p1 branch: head_p1 o bn_out o conv_out3x3 == one 3x3 conv 64->1
+    #   - ipt1 branch: head_ipt1 o conv_out3x3 == one 3x3 conv 64->1
+    # and the 1x1 head commutes with the bilinear upsample, so only single
+    # channels are convolved/upsampled at high resolution.
+    blk1 = params["decoder_block1"]
+    ipt1p = params["ipt_blk1"]
+    k_head = params["conv_out1"]["kernel"][0, 0]  # [240, 1]
+    dec_out1_c = blk1["conv_out"]["kernel"].shape[-1]
+    k_p1 = k_head[:dec_out1_c, :]                 # [192, 1]
+    k_ipt1 = k_head[dec_out1_c:, :]               # [48, 1]
+
+    # p1 branch fold: W[3,3,64,1], b scalar.
+    bn = blk1["bn_out"]
+    w_p1 = jnp.einsum("hwcd,d,do->hwco", blk1["conv_out"]["kernel"],
+                      bn["scale"], k_p1)
+    b_p1 = ((bn["scale"] * blk1["conv_out"]["bias"] + bn["shift"])
+            @ k_p1)[..., 0]
+    logit_p1 = L.conv2d({"kernel": w_p1, "bias": b_p1[None]}, p1_feat,
+                        padding=1)
+
+    # ipt1 branch fold: W[3,3,64,1], b scalar (SimpleConvs has no BN).
+    w_i1 = jnp.einsum("hwcd,do->hwco", ipt1p["conv_out"]["kernel"], k_ipt1)
+    b_i1 = (ipt1p["conv_out"]["bias"] @ k_ipt1)[..., 0]
+    logit_ipt1 = L.conv2d({"kernel": w_i1, "bias": b_i1[None]}, ipt1_hidden,
+                          padding=1)
+
     logits = (resize_bilinear_align_corners(logit_p1, h, w)
               + resize_bilinear_align_corners(logit_ipt1, h, w))
     if "bias" in params["conv_out1"]:

@@ -191,16 +191,31 @@ def basic_layer_forward(
 
 def patch_embed_forward(params, x: jax.Array, patch_size: int) -> jax.Array:
     """Patchify NHWC input: pad -> conv k=s=patch -> LN
-    (reference: src/swin.rs:692-714)."""
+    (reference: src/swin.rs:692-714).
+
+    The k=s=patch conv is computed as space-to-depth + matmul: a stride-4
+    conv over 3 input channels runs at ~1 TFLOP/s on the conv unit, while
+    the equivalent [HW/16, 48] @ [48, C] contraction uses the MXU directly.
+    """
     b, h, w, c = x.shape
-    pad_h = (patch_size - h % patch_size) % patch_size
-    pad_w = (patch_size - w % patch_size) % patch_size
+    p = patch_size
+    pad_h = (p - h % p) % p
+    pad_w = (p - w % p) % p
     if pad_h or pad_w:
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    x = L.conv2d(params["proj"], x, stride=patch_size)
+    b, h, w, c = x.shape
+    # space-to-depth: [B, H/p, W/p, p*p*c] ordered (ph, pw, c) to match the
+    # HWIO kernel flattening.
+    xs = x.reshape(b, h // p, p, w // p, p, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p, p * p * c)
+    kernel = params["proj"]["kernel"].reshape(p * p * c, -1)
+    y = jnp.einsum("bhwi,io->bhwo", xs, kernel.astype(xs.dtype),
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    y = (y + params["proj"]["bias"].astype(jnp.float32)).astype(x.dtype)
     if "norm" in params:
-        x = L.layer_norm(params["norm"], x)
-    return x
+        y = L.layer_norm(params["norm"], y)
+    return y
 
 
 def swin_forward(
