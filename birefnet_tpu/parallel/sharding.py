@@ -35,6 +35,43 @@ def batch_spatial_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
 
 
+def make_sharded_infer_fn(
+    mesh: Mesh,
+    params,
+    cfg: BiRefNetConfig,
+    compute: ComputeConfig = ComputeConfig(),
+    spatial: bool = True,
+    as_uint8: bool = True,
+):
+    """Mesh-sharded uint8-in -> mask-out inference (the HR-variant serving
+    path; BASELINE.json config: "2048x2048, activations sharded across a
+    v5e-8 mesh").
+
+    Frames are sharded batch-over-`data` and H-over-`spatial`; params are
+    replicated; XLA inserts halo-exchange collectives for convs/windows from
+    the annotations (the explicit shard_map formulation lives in halo.py).
+    """
+    from .. import pipeline
+
+    in_spec = (batch_spatial_sharded(mesh) if spatial
+               else batch_sharded(mesh))
+
+    @jax.jit
+    def infer(params, frames_u8):
+        b, h, w, _ = frames_u8.shape
+        x = pipeline.preprocess(frames_u8, cfg.size, dtype=compute.dtype)
+        x = jax.lax.with_sharding_constraint(x, in_spec)
+        mask = birefnet.forward(params, cfg, x, compute)
+        return pipeline.postprocess(mask, h, w, as_uint8=as_uint8)
+
+    def run(frames_u8):
+        f = jax.device_put(frames_u8, in_spec)
+        p = jax.device_put(params, replicated(mesh))
+        return infer(p, f)
+
+    return run
+
+
 def make_data_parallel_forward(
     mesh: Mesh,
     cfg: BiRefNetConfig,

@@ -1,0 +1,112 @@
+"""Batch serving entry point: segment a directory/list of images.
+
+Production-shaped pipeline the reference lacks (its only app is a
+single-image example; reference: examples/infer_image.rs): the host-side
+BatchLoader (threaded decode + native C++ resize) keeps fixed-shape uint8
+batches ahead of the device; the device runs the staged inference; masks
+come back at the model resolution and are Lanczos3-resized to each image's
+original size on the host (native OpenMP path).
+
+Usage:
+  python -m birefnet_tpu.serve imgs/*.jpg --out masks/ \
+      --checkpoint model.safetensors --batch 4 --dtype bfloat16
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="BiRefNet batch segmentation (TPU-native)")
+    parser.add_argument("inputs", nargs="+",
+                        help="image files, globs, or directories")
+    parser.add_argument("--out", default="masks",
+                        help="output directory (default: masks/)")
+    parser.add_argument("--checkpoint", required=False, default=None)
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--size", type=int, default=1024)
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"),
+                        default="bfloat16")
+    parser.add_argument("--deform-mode", choices=("deformable", "regular"),
+                        default="deformable")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+
+    paths = []
+    for inp in args.inputs:
+        if os.path.isdir(inp):
+            for ext in ("*.png", "*.jpg", "*.jpeg", "*.webp", "*.bmp"):
+                paths.extend(sorted(glob.glob(os.path.join(inp, ext))))
+        else:
+            paths.extend(sorted(glob.glob(inp)) or [inp])
+    if not paths:
+        print("error: no input images found", file=sys.stderr)
+        return 1
+
+    from .cli import default_checkpoint_path
+    ckpt = args.checkpoint or default_checkpoint_path()
+    if ckpt is None:
+        print("error: no checkpoint found; pass --checkpoint",
+              file=sys.stderr)
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import birefnet_tpu as bt
+    from birefnet_tpu import staged
+    from birefnet_tpu.loader import BatchLoader
+    from birefnet_tpu.utils import native
+
+    import dataclasses
+    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(),
+                              size=(args.size, args.size))
+    on_tpu = jax.default_backend() == "tpu"
+    compute = bt.ComputeConfig(
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        use_flash_attention=on_tpu and "DISABLE_FLASH_ATTN" not in os.environ,
+        use_pallas_deform=on_tpu,
+        deform_mode=args.deform_mode,
+    )
+    print(f"Loading {ckpt} ...")
+    params = bt.load_checkpoint(ckpt, cfg)
+    # Masks come back at model resolution; host resizes per original size.
+    infer = staged.make_staged_infer_fn(
+        params, cfg, compute, out_size=(args.size, args.size))
+
+    os.makedirs(args.out, exist_ok=True)
+    loader = BatchLoader(paths, batch_size=args.batch, size=args.size)
+
+    from PIL import Image
+    done = 0
+    t0 = time.time()
+    it = iter(paths)
+    for frames, sizes in loader:
+        masks = np.asarray(infer(jnp.asarray(frames)))
+        for i, (oh, ow) in enumerate(sizes):
+            mask = native.resize_lanczos3_u8(
+                masks[i][..., None], oh, ow)[..., 0]
+            src = next(it)
+            dst = os.path.join(
+                args.out,
+                os.path.splitext(os.path.basename(src))[0] + "_mask.png")
+            Image.fromarray(mask).save(dst)
+            done += 1
+    dt = time.time() - t0
+    print(f"Segmented {done} images in {dt:.1f}s "
+          f"({done / dt:.2f} img/s incl. compile+IO)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -105,3 +105,21 @@ def test_batch_dp_forward_matches_single(mesh_dp, rng):
         params, cfg, jnp.asarray(x[:1])))
     np.testing.assert_allclose(got[:1], want, atol=2e-4, rtol=1e-3)
     assert got.shape == (8, 64, 64, 1)
+
+
+def test_hr_sharded_infer_matches_dense(mesh8, rng):
+    """The HR serving path (batch+spatial sharded, fused pre/post) must match
+    the dense pipeline."""
+    import dataclasses
+    from birefnet_tpu import pipeline
+    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(), size=(64, 64))
+    params = bt.init_params(cfg, seed=2)
+    frames = rng.integers(0, 256, size=(4, 64, 64, 3), dtype=np.uint8)
+    frames = jnp.asarray(frames)
+
+    dense = pipeline.make_infer_fn(params, cfg)
+    sharded = pshard.make_sharded_infer_fn(mesh8, params, cfg, spatial=True)
+    a = np.asarray(dense(frames))
+    b = np.asarray(sharded(frames))
+    assert a.shape == b.shape
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1  # u8 boundary
