@@ -43,7 +43,7 @@ def _ensure_tpu_or_reexec(max_attempts: int = 8) -> None:
 
 
 def main() -> int:
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     iters = int(os.environ.get("BENCH_ITERS", "10"))

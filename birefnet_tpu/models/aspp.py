@@ -111,6 +111,27 @@ def aspp_deformable_forward(
     return L.relu(out)
 
 
+def deformable_conv2d_forward(
+    params,
+    x: jax.Array,
+    kernel_size: int,
+    stride: int = 1,
+    padding: int = 0,
+    compute: ComputeConfig = ComputeConfig(),
+) -> jax.Array:
+    """Standalone generic DeformableConv2d layer: offset/modulator convs +
+    modulated deformable sampling, with stride support and a bias on the
+    regular conv (the reference's exported `DeformableConv2d`,
+    reference: src/deform_conv.rs:17-222, src/lib.rs:13 — near-duplicate of
+    the ASPP one but model-unused; provided for API parity).
+
+    params: {offset_conv, modulator_conv, regular_conv} conv2d param dicts
+    (regular_conv may carry a bias, unlike the ASPP variant).
+    """
+    return deform_conv_aspp_forward(params, x, kernel_size, padding, compute,
+                                    stride=stride)
+
+
 # ---------------------------------------------------------------------------
 # Classic (non-deformable) dilated ASPP — component parity with the
 # reference's dead-but-present ASPP / ASPPModule (reference: src/aspp.rs:336-447).

@@ -162,3 +162,16 @@ def test_regular_deform_mode_matches_reference_cpu_semantics(rng, jax_params,
         y = F.conv2d(tx, tmod.atrous_conv.regular_conv.weight, padding=3)
         want = F.relu(tmod.bn(y)).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_bf16_mask_mae_within_budget(rng, jax_params):
+    """bf16 end-to-end mask must stay within the 1e-3 MAE quality bar
+    (BASELINE.md target) of the f32 mask."""
+    x32 = rng.normal(size=(1, 64, 64, 3)).astype(np.float32) * 0.5
+    m32 = np.asarray(bmodel.forward(jax_params, CFG, jnp.asarray(x32)),
+                     np.float32)
+    m16 = np.asarray(bmodel.forward(
+        jax_params, CFG, jnp.asarray(x32, jnp.bfloat16),
+        bt.ComputeConfig(dtype=jnp.bfloat16)), np.float32)
+    mae = np.abs(m32 - m16).mean()
+    assert mae < 1e-3, f"bf16 mask MAE {mae:.2e}"
