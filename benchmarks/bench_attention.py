@@ -18,6 +18,7 @@ from benchmarks.common import time_chained, ensure_tpu_or_reexec  # noqa: E402
 from birefnet_tpu.ops.attention import window_attention  # noqa: E402
 from birefnet_tpu.ops.pallas.flash_window_attn import (  # noqa: E402
     flash_window_attention,
+    flash_window_attention_qkv,
 )
 
 # (label, B_, heads, N, d, nW): per-stage shapes at 1024^2 + half-scale pass.
@@ -35,8 +36,8 @@ def main():
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16
     print(f"backend={jax.default_backend()} dtype=bfloat16")
-    print(f"{'config':>12} {'naive ms':>9} {'flash ms':>9} {'speedup':>8} "
-          f"{'max|diff|':>10}")
+    print(f"{'config':>12} {'naive ms':>9} {'flash ms':>9} {'fused ms':>9} "
+          f"{'speedup':>8} {'max|diff|':>10}")
     for label, b_, h, n, d, nw in CONFIGS:
         q = jnp.asarray(rng.normal(size=(b_, h, n, d)), dtype)
         k = jnp.asarray(rng.normal(size=(b_, h, n, d)), dtype)
@@ -44,9 +45,14 @@ def main():
         bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
         mask = jnp.asarray(
             rng.integers(0, 2, size=(nw, n, n)) * -100.0, jnp.float32)
+        # packed layout for the fused all-heads kernel
+        qkv = jnp.concatenate([
+            t.transpose(0, 2, 1, 3).reshape(b_, n, h * d) for t in (q, k, v)
+        ], axis=-1)
 
         o_naive = window_attention(q, k, v, bias, mask)
         o_flash = flash_window_attention(q, k, v, bias, mask)
+        o_fused = flash_window_attention_qkv(qkv, bias, mask, h)
         diff = float(jnp.abs(
             o_naive.astype(jnp.float32) - o_flash.astype(jnp.float32)).max())
 
@@ -55,8 +61,12 @@ def main():
             lambda qq: window_attention(qq, k, v, bias, mask), fb, q)
         t_flash = time_chained(
             lambda qq: flash_window_attention(qq, k, v, bias, mask), fb, q)
+        t_fused = time_chained(
+            lambda kk: flash_window_attention_qkv(kk, bias, mask, h),
+            lambda y: jnp.concatenate([y, y, y], -1).astype(dtype), qkv)
         print(f"{label:>12} {t_naive * 1e3:>9.3f} {t_flash * 1e3:>9.3f} "
-              f"{t_naive / t_flash:>7.2f}x {diff:>10.4f}")
+              f"{t_fused * 1e3:>9.3f} "
+              f"{t_naive / t_fused:>7.2f}x {diff:>10.4f}")
 
 
 if __name__ == "__main__":

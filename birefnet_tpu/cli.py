@@ -104,14 +104,21 @@ def main(argv=None) -> int:
     print(f"Input: {args.image} ({orig_w}x{orig_h})")
 
     frames = jnp.asarray(np.asarray(img, dtype=np.uint8))[None]  # [1,H,W,3]
-    infer = pipeline.make_infer_fn(params, cfg, compute)
+    if on_tpu:
+        # Staged compilation: the monolithic 1024^2 program is a very large
+        # XLA compile; the staged path is numerically identical (see
+        # staged.py) and compiles in minutes.
+        from birefnet_tpu import staged
+        infer = staged.make_staged_infer_fn(params, cfg, compute)
+    else:
+        infer = pipeline.make_infer_fn(params, cfg, compute)
 
     print("Running inference...")
     t0 = time.time()
-    mask = jax.block_until_ready(infer(frames))
+    mask = np.asarray(infer(frames))  # readback = reliable fence
     print(f"Inference time (incl. compile): {time.time() - t0:.2f}s")
     t0 = time.time()
-    mask = jax.block_until_ready(infer(frames))
+    mask = np.asarray(infer(frames))
     print(f"Inference time (steady state): {time.time() - t0:.3f}s")
 
     # Health-check stats like the reference (reference:
