@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
-from benchmarks.common import time_chained, ensure_tpu_or_reexec  # noqa: E402
+from benchmarks.common import device_busy_ms, ensure_tpu_or_reexec  # noqa: E402
 from birefnet_tpu.ops.attention import window_attention  # noqa: E402
 from birefnet_tpu.ops.pallas.flash_window_attn import (  # noqa: E402
     flash_window_attention,
@@ -56,16 +56,16 @@ def main():
         diff = float(jnp.abs(
             o_naive.astype(jnp.float32) - o_flash.astype(jnp.float32)).max())
 
-        fb = lambda y: y.astype(dtype)  # feed output back as q
-        t_naive = time_chained(
-            lambda qq: window_attention(qq, k, v, bias, mask), fb, q)
-        t_flash = time_chained(
-            lambda qq: flash_window_attention(qq, k, v, bias, mask), fb, q)
-        t_fused = time_chained(
-            lambda kk: flash_window_attention_qkv(kk, bias, mask, h),
-            lambda y: jnp.concatenate([y, y, y], -1).astype(dtype), qkv)
-        print(f"{label:>12} {t_naive * 1e3:>9.3f} {t_flash * 1e3:>9.3f} "
-              f"{t_fused * 1e3:>9.3f} "
+        # device-busy timing (wall clocks carry tunnel latency; see common.py)
+        naive_jit = jax.jit(window_attention)
+        t_naive = device_busy_ms(naive_jit, q, k, v, bias, mask)
+        t_flash = device_busy_ms(
+            lambda *a: flash_window_attention(*a), q, k, v, bias, mask)
+        t_fused = device_busy_ms(
+            lambda *a: flash_window_attention_qkv(*a, num_heads=h),
+            qkv, bias, mask)
+        print(f"{label:>12} {t_naive:>9.3f} {t_flash:>9.3f} "
+              f"{t_fused:>9.3f} "
               f"{t_naive / t_fused:>7.2f}x {diff:>10.4f}")
 
 

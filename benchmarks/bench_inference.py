@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
-from benchmarks.common import time_once, ensure_tpu_or_reexec  # noqa: E402
+from benchmarks.common import device_busy_ms, ensure_tpu_or_reexec  # noqa: E402
 import birefnet_tpu as bt  # noqa: E402
 from birefnet_tpu.models import swin as bswin  # noqa: E402
 from birefnet_tpu.models import birefnet as bmodel  # noqa: E402
@@ -49,24 +49,24 @@ def main():
           f"flash={compute.use_flash_attention} "
           f"pallas_deform={compute.use_pallas_deform}")
 
-    t = time_once(
-        lambda p, x: bswin.swin_forward(p, swin_cfg, x, compute),
+    t = device_busy_ms(
+        jax.jit(lambda p, x: bswin.swin_forward(p, swin_cfg, x, compute)),
         params["bb"], x)
-    print(f"backbone (full scale) : {t * 1e3:9.1f} ms")
+    print(f"backbone (full scale) : {t:9.1f} ms")
 
     x_half = resize_bilinear_align_corners(x, size // 2, size // 2)
-    t = time_once(
-        lambda p, x: bswin.swin_forward(p, swin_cfg, x, compute),
+    t = device_busy_ms(
+        jax.jit(lambda p, x: bswin.swin_forward(p, swin_cfg, x, compute)),
         params["bb"], x_half)
-    print(f"backbone (half scale) : {t * 1e3:9.1f} ms")
+    print(f"backbone (half scale) : {t:9.1f} ms")
 
     # Squeeze input: 5760 x (size/32)^2 (reference: src/birefnet.rs:56-61).
     g = size // 32
     sq_in = jnp.asarray(rng.normal(size=(1, g, g, cfg.x4_channels())), dtype)
-    t = time_once(
-        lambda p, x: bmodel.squeeze_module_forward(p, x, compute),
+    t = device_busy_ms(
+        jax.jit(lambda p, x: bmodel.squeeze_module_forward(p, x, compute)),
         params["squeeze_module"], sq_in)
-    print(f"squeeze module        : {t * 1e3:9.1f} ms")
+    print(f"squeeze module        : {t:9.1f} ms")
 
     lat = cfg.lateral_channels()
     feats = [
@@ -75,16 +75,19 @@ def main():
         jnp.asarray(rng.normal(size=(1, size // 16, size // 16, lat[2])), dtype),
         jnp.asarray(rng.normal(size=(1, g, g, lat[3])), dtype),
     ]
-    t = time_once(
-        lambda p, x, f1, f2, f3, f4: bdec.decoder_forward(
-            p, cfg, x, f1, f2, f3, f4, compute),
+    t = device_busy_ms(
+        jax.jit(lambda p, x, f1, f2, f3, f4: bdec.decoder_forward(
+            p, cfg, x, f1, f2, f3, f4, compute)),
         params["decoder"], x, *feats)
-    print(f"decoder               : {t * 1e3:9.1f} ms")
+    print(f"decoder               : {t:9.1f} ms")
 
-    t = time_once(
-        lambda p, x: bmodel.forward_logits(p, cfg, x, compute), params, x)
-    print(f"TOTAL forward_logits  : {t * 1e3:9.1f} ms "
-          f"({1.0 / t:.2f} img/s)")
+    from birefnet_tpu import staged
+    infer = staged.make_staged_infer_fn(params, cfg, compute)
+    frames = jnp.asarray((np.clip(np.asarray(x, np.float32), 0, 1) * 255
+                          ).astype(np.uint8))
+    t = device_busy_ms(infer, frames) / 1e3
+    print(f"TOTAL e2e (staged)    : {t * 1e3:9.1f} ms "
+          f"({1.0 / t:.2f} img/s device-busy)")
 
 
 if __name__ == "__main__":
