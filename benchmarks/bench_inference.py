@@ -37,6 +37,7 @@ def main():
         use_flash_attention=os.environ.get("BENCH_FLASH", "1") == "1" and on_tpu,
         use_pallas_deform=(
             os.environ.get("BENCH_PALLAS_DEFORM", "1") == "1" and on_tpu),
+        deform_mode=os.environ.get("BENCH_DEFORM_MODE", "deformable"),
     )
     cfg = bt.BiRefNetConfig.swin_l()
     swin_cfg = cfg.swin_config()
@@ -46,6 +47,7 @@ def main():
     x = jnp.asarray(rng.normal(size=(1, size, size, 3)), dtype)
 
     print(f"backend={jax.default_backend()} size={size} dtype={dtype_name} "
+          f"deform_mode={compute.deform_mode} "
           f"flash={compute.use_flash_attention} "
           f"pallas_deform={compute.use_pallas_deform}")
 
