@@ -66,7 +66,12 @@ def window_attention_forward(
         # Fully fused path: the kernel consumes the packed qkv projection
         # directly (per-head lane slices in VMEM), so the [3, B_, heads, N, d]
         # transpose and the output re-pack never materialize in HBM.
+        # Under bf16 compute, bias/mask ride as bf16 operands (mask values
+        # 0/-100 are exact in bf16; the kernel accumulates scores in f32).
         from ..ops.pallas import flash_window_attn
+        if x.dtype == jnp.bfloat16:
+            bias = bias.astype(jnp.bfloat16)
+            mask = mask.astype(jnp.bfloat16) if mask is not None else None
         out = flash_window_attn.flash_window_attention_qkv(
             qkv, bias, mask, num_heads)
     else:
