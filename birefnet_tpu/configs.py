@@ -8,7 +8,7 @@ as frozen dataclasses with the same presets and derived channel math.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ import concurrent.futures as cf
 import os
 import queue
 import threading
-from typing import Iterable, Iterator, List, Sequence, Tuple, Union
+from typing import Iterator, List, Sequence, Tuple, Union
 
 import numpy as np
 

@@ -15,8 +15,6 @@ sampling (XLA gather formulation or the Pallas kernel).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

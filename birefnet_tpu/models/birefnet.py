@@ -14,8 +14,6 @@ is a single pure function, jittable end to end.
 
 from __future__ import annotations
 
-from typing import List
-
 import jax
 import jax.numpy as jnp
 

@@ -7,12 +7,10 @@ including the GDT attention gates and the image2patches input pyramid.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from ..configs import BiRefNetConfig, ComputeConfig, DecoderConfig
+from ..configs import BiRefNetConfig, ComputeConfig
 from ..ops import layers as L
 from ..ops.resize import resize_bilinear_align_corners
 from .aspp import aspp_deformable_forward

@@ -25,7 +25,7 @@ Param tree (per checkpoint schema, see params.py):
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Param schemas:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -21,16 +21,12 @@ new TPU-native surface, not a port.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import layers as L
 from .mesh import SPATIAL_AXIS
 
 

@@ -10,10 +10,8 @@ replacement for the reference's "no communication backend at all"
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs import BiRefNetConfig, ComputeConfig

@@ -21,11 +21,10 @@ examples/infer_image.rs:30-40). This module replicates that contract:
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterable, List, Mapping, Tuple
+from typing import Dict, List, Mapping, Tuple
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from .configs import BiRefNetConfig, SwinConfig
 from .ops.window import relative_position_index

@@ -13,7 +13,6 @@ program — the only host<->device traffic is uint8 in, uint8 (or f32) mask out.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -16,7 +16,6 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 log = logging.getLogger("birefnet_tpu")
 

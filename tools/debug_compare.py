@@ -46,7 +46,6 @@ def main() -> int:
 
     cfg = bt.BiRefNetConfig.swin_l()
     if args.checkpoint:
-        import safetensors
         from safetensors import safe_open
         tensors = {}
         with safe_open(args.checkpoint, framework="np") as f:
