@@ -175,3 +175,15 @@ def test_bf16_mask_mae_within_budget(rng, jax_params):
         bt.ComputeConfig(dtype=jnp.bfloat16)), np.float32)
     mae = np.abs(m32 - m16).mean()
     assert mae < 1e-3, f"bf16 mask MAE {mae:.2e}"
+
+
+def test_full_model_parity_nonsquare(rng, jax_params, torch_model):
+    """Non-square input (H != W) exercises every H/W-ordering path: resize
+    matrices, window padding, image2patches grids, mask building."""
+    x = rng.normal(size=(1, 64, 96, 3)).astype(np.float32) * 0.5
+    got = np.asarray(bmodel.forward_logits(jax_params, CFG, jnp.asarray(x)))
+    with torch.no_grad():
+        want = torch_model.forward_logits(
+            torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    assert got.shape == want.shape == (1, 64, 96, 1)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
