@@ -43,28 +43,8 @@ def conv2d(
     dilation: int = 1,
 ) -> jax.Array:
     """NHWC conv with HWIO weights (symmetric padding, matching candle's
-    Conv2dConfig semantics).
-
-    Tiny-input-channel convs (e.g. the RGB-consuming ipt_blk1 3->64) run
-    ~5x below the conv unit's rate on TPU; those route through an exact
-    im2col + MXU matmul instead (measured 3.07 -> 0.66 ms at 1024^2)."""
+    Conv2dConfig semantics)."""
     kernel = params["kernel"].astype(x.dtype)
-    kh, kw, cin, cout = kernel.shape
-    if (cin <= 8 and kh * kw > 1 and stride == 1 and dilation == 1
-            and kh == kw and padding * 2 == kh - 1):
-        b, h, w, _ = x.shape
-        xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding),
-                         (0, 0)))
-        cols = jnp.concatenate(
-            [xp[:, dy:dy + h, dx:dx + w, :]
-             for dy in range(kh) for dx in range(kw)], axis=-1)
-        y = jnp.einsum("bhwi,io->bhwo", cols,
-                       kernel.reshape(kh * kw * cin, cout),
-                       precision=lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-        if "bias" in params:
-            y = y + params["bias"].astype(jnp.float32)
-        return y.astype(x.dtype)
     y = lax.conv_general_dilated(
         x,
         kernel,
