@@ -113,10 +113,17 @@ class BiRefNetConfig:
         return (48, 96, 192, 384, 384)
 
     def ipt_in_channels(self) -> Tuple[int, ...]:
-        """ipt_blk1..5 input channels (reference: src/birefnet.rs:182-193)."""
-        lat = self.lateral_channels()
-        ipt_out = self.ipt_out_channels()
-        return (3, ipt_out[0], lat[0] // 2, lat[2] // 2, lat[3])
+        """ipt_blk1..5 input channels.
+
+        These are the image2patches channel counts 3*(grid)^2 for grids
+        1/4/8/16/32 (plus ipt_blk2 consuming ipt_blk1's 48 channels) — fixed
+        by the patching scheme, independent of the config toggles. The
+        reference derives them from lateral_channels
+        (reference: src/birefnet.rs:182-193), which coincides with these
+        values ONLY for the default config; the patch-derived values are the
+        runtime-consistent ones for non-default mul_scl_ipt/cxt variants.
+        """
+        return (3, 48, 192, 768, 3072)
 
     def dec_out_channels(self) -> Tuple[int, ...]:
         """decoder_block4..1 output channels (reference: src/birefnet.rs:202)."""

@@ -207,3 +207,24 @@ def test_channel_math():
     assert cfg.dec_in_channels() == (3456, 1920, 960, 480)
     assert cfg.dec_out_channels() == (1536, 768, 384, 192)
     assert cfg.final_channels() == 240
+
+
+@pytest.mark.parametrize("mul_scl,cxt", [(False, (192, 384, 768)),
+                                         (True, ()), (False, ())])
+def test_config_variants_end_to_end(rng, mul_scl, cxt):
+    """Non-default BiRefNetConfig toggles (reference: src/birefnet.rs:21-29,
+    mul_scl_ipt / cxt) must flow through schema -> loader -> forward."""
+    import dataclasses
+    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(),
+                              mul_scl_ipt=mul_scl, cxt=cxt)
+    # Channel math adapts (reference: src/birefnet.rs:50-61).
+    mult = 2 if mul_scl else 1
+    assert cfg.lateral_channels() == tuple(c * mult
+                                           for c in (192, 384, 768, 1536))
+    assert cfg.x4_channels() == 1536 * mult + sum(c * mult for c in cxt)
+
+    params = bt.init_params(cfg, seed=1)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32) * 0.3
+    y = bt.birefnet.forward_logits(params, cfg, jnp.asarray(x))
+    assert y.shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(y)).all()
