@@ -10,7 +10,7 @@ preprocess + both backbone passes + decoder + postprocess in one jitted
 program), mirroring the reference's bench_inference end-to-end shape
 (reference: examples/bench_inference.rs) but with device-side pre/post.
 
-Env overrides: BENCH_BATCH (default 4), BENCH_SIZE (default 1024),
+Env overrides: BENCH_BATCH (default 2), BENCH_SIZE (default 1024),
 BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 10),
 BENCH_FLASH / BENCH_PALLAS_DEFORM (default 1 on TPU).
 """
@@ -137,6 +137,11 @@ def main() -> int:
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / 150.0, 4),
+        # regular = candle-CPU semantics (offsets ignored), the MAE baseline's
+        # reference behavior; "deformable" (faithful sampling) is slower —
+        # see BENCH_DEFORM_MODE and ROADMAP.md.
+        "deform_mode": deform_mode,
+        "batch": batch,
     }))
     return 0
 

@@ -75,6 +75,19 @@ class BatchLoader:
         """
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        # Set when the consumer abandons the iterator early (generator close /
+        # exception); the producer checks it around every bounded q.put so the
+        # thread and its pool always wind down in a long-lived server.
+        cancelled = threading.Event()
+
+        def _put(item) -> bool:
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             with cf.ThreadPoolExecutor(self.workers) as pool:
@@ -82,6 +95,8 @@ class BatchLoader:
                 n = len(self.sources)
                 end = (n // bs) * bs if self.drop_remainder else n
                 for i in range(0, end, bs):
+                    if cancelled.is_set():
+                        return
                     chunk = self.sources[i:i + bs]
                     results = list(pool.map(
                         lambda s: load_frame(s, self.size), chunk))
@@ -92,14 +107,18 @@ class BatchLoader:
                         frames = np.concatenate(
                             [frames, np.zeros((pad, *frames.shape[1:]),
                                               np.uint8)])
-                    q.put((frames, sizes))
-            q.put(stop)
+                    if not _put((frames, sizes)):
+                        return
+            _put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            cancelled.set()
+            t.join()

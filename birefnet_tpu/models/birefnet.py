@@ -43,7 +43,7 @@ def forward_logits(
     """NHWC forward to logits (reference: src/birefnet.rs:412-461).
 
     Args:
-      x: [B, H, W, 3] normalized image, H and W divisible by 64.
+      x: [B, H, W, 3] normalized image, H and W divisible by 32.
     Returns:
       [B, H, W, 1] logits.
     """

@@ -160,7 +160,7 @@ def _flash_qkv(qkv, bias, mask, heads, interpret=False):
     # temporaries (the unrolled head loop makes the compiler co-allocate
     # several). Keep the qkv block small so the total stays well under the
     # 16MB scoped budget.
-    cap = max(1, (3 * 1024 * 1024) // (n * c3 * 2))
+    cap = max(1, (3 * 1024 * 1024) // (n * c3 * qkv.dtype.itemsize))
     bw = 1
     for cand in range(1, min(16, cap) + 1):
         if b_ % cand == 0 and (mask is None or nw % cand == 0):

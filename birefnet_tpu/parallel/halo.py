@@ -113,6 +113,13 @@ def sharded_conv2d(
     """
     assert stride == 1, "sharded conv supports stride 1"
     kh = params["kernel"].shape[0]
+    # The halo rows come from `padding`; that only reproduces the unsharded
+    # conv when the conv is 'same'-padded (every conv in the BiRefNet graph
+    # is). A valid/under-padded conv would silently mis-stitch shard edges.
+    if kh > 1:
+        assert padding == dilation * (kh // 2), (
+            f"sharded_conv2d requires 'same' padding: padding={padding}, "
+            f"need dilation*(kh//2)={dilation * (kh // 2)}")
     halo = padding if kh > 1 else 0
 
     def local_fn(params, x_loc):

@@ -58,3 +58,21 @@ def test_batch_matches_single(image_files):
     for i in range(2):
         want, _ = load_frame(image_files[i], 48)
         np.testing.assert_array_equal(frames[i], want)
+
+def test_batch_loader_early_abandon_unwinds_producer(image_files):
+    """Abandoning the iterator mid-stream must not leave the producer thread
+    blocked on the bounded queue (serving-process leak, ADVICE r1)."""
+    import threading
+
+    before = threading.active_count()
+    loader = BatchLoader(image_files * 4, batch_size=1, size=32, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # generator close -> finally -> cancelled.set() + join
+    # The producer (and its pool threads) must exit promptly.
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before
