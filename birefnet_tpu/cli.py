@@ -68,10 +68,16 @@ def main(argv=None) -> int:
 
     ckpt = args.checkpoint or default_checkpoint_path()
     if ckpt is None:
-        print("error: no checkpoint found. Pass --checkpoint "
-              "path/to/model.safetensors (ZhengPeng7/BiRefNet).",
-              file=sys.stderr)
-        return 1
+        # Fetch like the reference does (reference:
+        # examples/infer_image.rs:30-32): hf-hub download, cached after the
+        # first run. See hub.py; offline environments get an actionable error.
+        from birefnet_tpu import hub
+        try:
+            print(f"Downloading {hub.DEFAULT_REPO}/{hub.DEFAULT_FILE} ...")
+            ckpt = hub.download()
+        except hub.HubUnavailableError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
 
     import jax
     import jax.numpy as jnp
