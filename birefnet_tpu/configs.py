@@ -182,7 +182,19 @@ class ComputeConfig:
     #     (BASELINE.json infer_image config runs the reference "on CPU").
     #     All-MXU; much faster on TPU (XLA gather throughput bounds the
     #     deformable path).
+    #   "deformable-local" — true deformable sampling with offsets clamped
+    #     to +-deform_local_radius px, computed as tiled one-hot MXU matmuls
+    #     instead of gathers (ops/deform_conv.py::deform_conv2d_local).
+    #     Exact vs "deformable" whenever |offset| <= radius; runs at MXU
+    #     speed instead of the platform's ~0.1G rows/s gather floor.
     deform_mode: str = "deformable"
+    # Offset clamp radius (px) for deform_mode="deformable-local".
+    deform_local_radius: int = 4
+
+    def __post_init__(self):
+        if self.deform_mode not in ("deformable", "regular",
+                                    "deformable-local"):
+            raise ValueError(f"unknown deform_mode: {self.deform_mode!r}")
 
     def with_overrides(self, **kw) -> "ComputeConfig":
         return dataclasses.replace(self, **kw)

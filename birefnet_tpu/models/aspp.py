@@ -56,6 +56,11 @@ def deform_conv_aspp_forward(
 
     weight = params["regular_conv"]["kernel"].astype(x.dtype)
     bias = params["regular_conv"].get("bias")
+    if compute.deform_mode == "deformable-local" and stride == 1:
+        from ..ops.deform_conv import deform_conv2d_local
+        return deform_conv2d_local(
+            x, offset, mask, weight, bias=bias, padding=padding,
+            radius=compute.deform_local_radius)
     if compute.use_pallas_deform:
         from ..ops.pallas import deform_im2col
         return deform_im2col.deform_conv2d_pallas(

@@ -146,3 +146,141 @@ def deform_conv2d(
     if bias is not None:
         out = out + bias.astype(compute_dtype)
     return out
+
+
+def deform_conv2d_local(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    padding: int = 0,
+    dilation: int = 1,
+    radius: int = 4,
+    tile: int = 16,
+) -> jax.Array:
+    """Locally-bounded modulated deformable conv: MXU sampling, no gathers.
+
+    Same semantics as `deform_conv2d` EXCEPT offsets are clamped to
+    [-radius, radius] — the `deform_mode="deformable-local"` contract.
+    Exact when all |offset| <= radius (torchvision-style zero padding
+    outside the image included); documented deviation otherwise.
+
+    Design (the tiled one-hot MXU sampler designed in
+    ops/pallas/deform_im2col.py): XLA's gather floor on this platform is
+    ~0.1G rows/s, so sampling runs as matmuls instead. The output is tiled
+    t x t; for each tile a FIXED source window (tile + tap extent + 2R+3
+    halo) is cut with one contiguous dynamic_slice from a zero-padded input
+    (no gather), and the bilinear+modulation sampling matrix factorizes as
+    row/col one-hot outer products:
+        sel[pk, sy, sx] = A[pk, sy] * B[pk, sx]
+        A = (1-ly)*onehot(y0) + ly*onehot(y0+1)   (VPU iota compares)
+        B = m  * ((1-lx)*onehot(x0) + lx*onehot(x0+1))
+    so cols = sel @ window is ONE dense [t^2*K, S] x [S, C] MXU matmul per
+    tile, followed by the usual [t^2, K*C] @ [K*C, outC] contraction
+    (reference columns-then-matmul structure: src/aspp.rs:138-165).
+    stride=1 only (all 20 model call sites are stride 1).
+
+    Zero padding outside the image falls out of the zero-padded window:
+    corners landing in padding read zeros, matching the exact path's
+    per-corner weight zeroing.
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, out_c = weight.shape
+    k = kh * kw
+    oh = h + 2 * padding - (dilation * (kh - 1) + 1) + 1
+    ow = w + 2 * padding - (dilation * (kw - 1) + 1) + 1
+    compute_dtype = x.dtype
+
+    ext_h = dilation * (kh - 1)
+    ext_w = dilation * (kw - 1)
+    s_h = tile + ext_h + 2 * radius + 3
+    s_w = tile + ext_w + 2 * radius + 3
+
+    n_th = -(-oh // tile)
+    n_tw = -(-ow // tile)
+    oh_pad, ow_pad = n_th * tile, n_tw * tile
+
+    # Zero-pad the input so every tile's source window is in bounds and
+    # out-of-image corners contribute exactly zero.
+    halo_lo = padding + radius + 1
+    halo_hi = halo_lo + ext_h + tile + (oh_pad - oh) + (ow_pad - ow)
+    x_pad = jnp.pad(x, ((0, 0), (halo_lo, halo_hi), (halo_lo, halo_hi),
+                        (0, 0)))
+
+    # Tap geometry (row-major taps, matching offset channel order).
+    tap_dy = jnp.repeat(jnp.arange(kh, dtype=jnp.float32) * dilation, kw)
+    tap_dx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) * dilation, kh)
+
+    # Tile the per-position offset/modulation maps: [T, B, t*t, K(,2)].
+    def to_tiles(a, lastdims):
+        a = a.reshape(b, oh, ow, *lastdims)
+        a = jnp.pad(a, ((0, 0), (0, oh_pad - oh), (0, ow_pad - ow))
+                    + ((0, 0),) * len(lastdims))
+        a = a.reshape(b, n_th, tile, n_tw, tile, *lastdims)
+        a = jnp.moveaxis(a, (1, 3), (0, 1))  # [n_th, n_tw, b, t, t, ...]
+        return a.reshape(n_th * n_tw, b, tile * tile, *lastdims)
+
+    off_t = to_tiles(
+        jnp.clip(offset.astype(jnp.float32), -radius, radius), (k, 2))
+    mask_t = to_tiles(mask.astype(jnp.float32), (k,))
+
+    # Local output coordinates within a tile.
+    oy_loc = jnp.repeat(jnp.arange(tile, dtype=jnp.float32), tile)
+    ox_loc = jnp.tile(jnp.arange(tile, dtype=jnp.float32), tile)
+
+    iota_h = jnp.arange(s_h, dtype=jnp.int32)
+    iota_w = jnp.arange(s_w, dtype=jnp.int32)
+    w_kc = weight.reshape(k * c, out_c).astype(compute_dtype)
+    pk = tile * tile * k
+
+    def one_tile(carry, inp):
+        t_idx, off_b, mask_b = inp  # scalar, [B, t*t, K, 2], [B, t*t, K]
+        ti, tj = t_idx // n_tw, t_idx % n_tw
+        win = lax.dynamic_slice(
+            x_pad, (0, ti * tile, tj * tile, 0), (b, s_h, s_w, c))
+        win = win.reshape(b, s_h * s_w, c)
+
+        # Sample coords relative to the window origin (always in range:
+        # offsets are clamped).
+        ry = (oy_loc[:, None] + tap_dy[None, :] + off_b[..., 0]
+              + (radius + 1))                      # [B, t*t, K]
+        rx = (ox_loc[:, None] + tap_dx[None, :] + off_b[..., 1]
+              + (radius + 1))
+        y0 = jnp.floor(ry)
+        x0 = jnp.floor(rx)
+        ly = (ry - y0)[..., None]
+        lx = (rx - x0)[..., None]
+        y0 = y0.astype(jnp.int32)[..., None]       # [B, t*t, K, 1]
+        x0 = x0.astype(jnp.int32)[..., None]
+
+        a_sel = ((1.0 - ly) * (iota_h == y0) + ly * (iota_h == y0 + 1))
+        b_sel = ((1.0 - lx) * (iota_w == x0) + lx * (iota_w == x0 + 1))
+        b_sel = b_sel * mask_b[..., None]
+        sel = (a_sel.reshape(b, pk, s_h, 1)
+               * b_sel.reshape(b, pk, 1, s_w)).reshape(b, pk, s_h * s_w)
+
+        cols = jnp.einsum(
+            "bps,bsc->bpc", sel.astype(compute_dtype), win,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        cols = cols.astype(compute_dtype).reshape(b, tile * tile, k * c)
+        out_b = jnp.einsum("bpj,jo->bpo", cols, w_kc,
+                           precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        return carry, out_b.astype(compute_dtype)
+
+    t_indices = jnp.arange(n_th * n_tw, dtype=jnp.int32)
+    if n_th * n_tw == 1:
+        _, out = one_tile(None, (t_indices[0], off_t[0], mask_t[0]))
+        out = out[None]
+    else:
+        _, out = lax.scan(one_tile, None, (t_indices, off_t, mask_t))
+
+    # [T, B, t*t, outC] -> [B, OH, OW, outC]
+    out = out.reshape(n_th, n_tw, b, tile, tile, out_c)
+    out = jnp.moveaxis(out, (0, 1), (1, 3))
+    out = out.reshape(b, oh_pad, ow_pad, out_c)[:, :oh, :ow]
+    if bias is not None:
+        out = out + bias.astype(compute_dtype)
+    return out

@@ -25,7 +25,7 @@ from birefnet_tpu.ops.window import (
     window_reverse,
 )
 from birefnet_tpu.ops.attention import window_attention
-from birefnet_tpu.ops.deform_conv import deform_conv2d
+from birefnet_tpu.ops.deform_conv import deform_conv2d, deform_conv2d_local
 from tests.torch_ref.birefnet_torch import deform_conv2d_torch
 
 
@@ -144,6 +144,48 @@ def test_deform_conv_matches_torch(rng, k, pad, stride):
     want = deform_conv2d_torch(
         tx, toff, tmask, tw, torch.from_numpy(bias),
         stride=stride, padding=pad).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,pad,tile", [(1, 0, 8), (3, 1, 8), (7, 3, 8),
+                                        (3, 1, 16)])
+def test_deform_conv_local_matches_exact_when_bounded(rng, k, pad, tile):
+    """deform_conv2d_local == deform_conv2d whenever |offset| <= radius
+    (the deform_mode="deformable-local" contract), including zero-padding
+    border semantics and non-tile-divisible output sizes."""
+    b, h, w, cin, cout, radius = 2, 19, 13, 6, 5, 3
+    x = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    offset = rng.uniform(-radius, radius,
+                         size=(b, h, w, 2 * k * k)).astype(np.float32)
+    mask = rng.uniform(0, 2, size=(b, h, w, k * k)).astype(np.float32)
+    weight = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+    bias = rng.normal(size=(cout,)).astype(np.float32)
+
+    want = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias), padding=pad))
+    got = np.asarray(deform_conv2d_local(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias), padding=pad,
+        radius=radius, tile=tile))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_deform_conv_local_clamps_large_offsets(rng):
+    """Offsets beyond the radius behave exactly as if clamped to +-radius."""
+    b, h, w, cin, cout, k, radius = 1, 12, 12, 4, 3, 3, 2
+    x = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    offset = (rng.normal(size=(b, h, w, 2 * k * k)) * 6).astype(np.float32)
+    mask = rng.uniform(0, 2, size=(b, h, w, k * k)).astype(np.float32)
+    weight = rng.normal(size=(k, k, cin, cout)).astype(np.float32)
+
+    want = np.asarray(deform_conv2d(
+        jnp.asarray(x),
+        jnp.asarray(np.clip(offset, -radius, radius)), jnp.asarray(mask),
+        jnp.asarray(weight), padding=1))
+    got = np.asarray(deform_conv2d_local(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), padding=1, radius=radius, tile=8))
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
