@@ -81,8 +81,11 @@ def main(argv=None) -> int:
     print(f"Loading {ckpt} ...")
     params = bt.load_checkpoint(ckpt, cfg)
     # Masks come back at model resolution; host resizes per original size.
+    # warmup_batch AOT-compiles all units up front so the first batch pays
+    # no compile latency.
     infer = staged.make_staged_infer_fn(
-        params, cfg, compute, out_size=(args.size, args.size))
+        params, cfg, compute, out_size=(args.size, args.size),
+        warmup_batch=args.batch)
 
     os.makedirs(args.out, exist_ok=True)
     loader = BatchLoader(paths, batch_size=args.batch, size=args.size)

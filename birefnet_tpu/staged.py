@@ -37,9 +37,22 @@ def make_staged_infer_fn(
     compute: ComputeConfig = ComputeConfig(),
     out_size: Optional[Tuple[int, int]] = None,
     as_uint8: bool = True,
+    warmup_batch: Optional[int] = None,
 ):
     """Staged equivalent of pipeline.make_infer_fn:
-    [B, H, W, 3] uint8 -> [B, out_h, out_w] mask."""
+    [B, H, W, 3] uint8 -> [B, out_h, out_w] mask.
+
+    Buffer donation: the merge unit donates the intra-pipeline activations
+    it consumes last (x, feats, feats_half — all freshly produced per call),
+    so XLA reuses their HBM pages for outputs. User-supplied frames are NOT
+    donated (callers legitimately reuse the same input array across calls).
+
+    warmup_batch: if given, ALL units are AOT-compiled at construction for
+    that batch size (via jit .lower().compile(), which hits the persistent
+    compile cache when warm) so the first inference call pays no compile —
+    the analog of the reference pre-building its whole program at
+    `BiRefNet::new` (reference: src/birefnet.rs:389).
+    """
     swin_cfg = cfg.swin_config()
 
     @jax.jit
@@ -48,7 +61,9 @@ def make_staged_infer_fn(
 
     @jax.jit
     def backbone(params_bb, x):
-        # Compiled once per input shape (full and half scale).
+        # Compiled once per input shape (full and half scale). `x` is NOT
+        # donated: the merge unit consumes the full-scale x again (ipt_blk1
+        # runs on the raw image; reference: src/birefnet.rs:320).
         return bswin.swin_forward(params_bb, swin_cfg, x, compute)
 
     @jax.jit
@@ -56,7 +71,8 @@ def make_staged_infer_fn(
         b, h, w, _ = x.shape
         return resize_bilinear_align_corners(x, h // 2, w // 2)
 
-    @functools.partial(jax.jit, static_argnums=(4, 5))
+    @functools.partial(jax.jit, static_argnums=(4, 5),
+                       donate_argnums=(1, 2, 3))
     def merge_decode_post(params, x, feats, feats_half, oh, ow):
         # mul_scl_ipt concat + cxt concat + squeeze + decoder + postprocess
         # in one unit (reference: src/birefnet.rs:423-460).
@@ -89,5 +105,25 @@ def make_staged_infer_fn(
         feats_half = backbone(params["bb"], half_input(x)) \
             if cfg.mul_scl_ipt else None
         return merge_decode_post(params, x, feats, feats_half, oh, ow)
+
+    if warmup_batch is not None:
+        # AOT-compile every unit by tracing the full pipeline with abstract
+        # values: jit caches the compiled executables, so the first real
+        # call dispatches immediately.
+        b = warmup_batch
+        h, w = out_size if out_size is not None else cfg.size
+        frames_s = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
+        x_s = jax.eval_shape(pre, frames_s)
+        pre.lower(frames_s).compile()
+        backbone.lower(params["bb"], x_s).compile()
+        feats_s = jax.eval_shape(backbone, params["bb"], x_s)
+        feats_half_s = None
+        if cfg.mul_scl_ipt:
+            half_input.lower(x_s).compile()
+            xh_s = jax.eval_shape(half_input, x_s)
+            backbone.lower(params["bb"], xh_s).compile()
+            feats_half_s = jax.eval_shape(backbone, params["bb"], xh_s)
+        merge_decode_post.lower(
+            params, x_s, feats_s, feats_half_s, h, w).compile()
 
     return infer
