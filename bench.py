@@ -78,6 +78,7 @@ def main() -> int:
         use_flash_attention=use_flash,
         use_pallas_deform=use_pallas_deform,
         deform_mode=deform_mode,
+        unroll_deep_stage=os.environ.get("BENCH_UNROLL", "1") == "1" and on_tpu,
     )
 
     print(f"[bench] backend={jax.default_backend()} batch={batch} "

@@ -190,6 +190,11 @@ class ComputeConfig:
     deform_mode: str = "deformable"
     # Offset clamp radius (px) for deform_mode="deformable-local".
     deform_local_radius: int = 4
+    # Unroll the 18-block backbone stage instead of lax.scan over block
+    # pairs. Measured 1.03-1.17x device time (XLA optimizes across block
+    # boundaries) at ~65s extra one-time compile; keep False where compile
+    # time matters (CPU tests), True for TPU serving/bench.
+    unroll_deep_stage: bool = False
 
     def __post_init__(self):
         if self.deform_mode not in ("deformable", "regular",

@@ -58,9 +58,13 @@ def deform_conv_aspp_forward(
     bias = params["regular_conv"].get("bias")
     if compute.deform_mode == "deformable-local" and stride == 1:
         from ..ops.deform_conv import deform_conv2d_local
+        # Measured (round 2, v5e): k=7's big halo'd windows favor small
+        # tiles (8), k<=3 favors 16 — 8.1x over the exact gather path at
+        # the 256^2 k7 site.
         return deform_conv2d_local(
             x, offset, mask, weight, bias=bias, padding=padding,
-            radius=compute.deform_local_radius)
+            radius=compute.deform_local_radius,
+            tile=8 if kernel_size >= 7 else 16)
     if compute.use_pallas_deform:
         from ..ops.pallas import deform_im2col
         return deform_im2col.deform_conv2d_pallas(

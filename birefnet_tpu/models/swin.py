@@ -96,26 +96,45 @@ def swin_block_forward(
     b, h, w, c = x.shape
     shortcut = x
 
-    x = L.layer_norm(params["norm1"], x)
-    x = W.pad_to_multiple(x, window_size)
-    _, hp, wp, _ = x.shape
-
-    if shift_size > 0:
-        x = W.roll_2d(x, -shift_size, -shift_size)
-        mask = attn_mask
+    if compute.use_flash_attention:
+        # Fully-fused path: LN1 + qkv + attention + proj in ONE Pallas
+        # kernel reading windows straight from the padded NHWC tensor —
+        # no window_partition/reverse relayouts, no qkv/attn HBM
+        # round-trips (see ops/pallas/fused_block_attn.py). Padding
+        # happens pre-LN here; the kernel zeroes pad tokens post-LN,
+        # which is numerically identical to the unfused order.
+        from ..ops.pallas import fused_block_attn
+        x = W.pad_to_multiple(x, window_size)
+        if shift_size > 0:
+            x = W.roll_2d(x, -shift_size, -shift_size)
+        x = fused_block_attn.fused_window_block_attention(
+            x, params["norm1"], params["attn"], window_size, shift_size,
+            num_heads, attn_mask if shift_size > 0 else None, h, w)
+        if shift_size > 0:
+            x = W.roll_2d(x, shift_size, shift_size)
+        if x.shape[1] != h or x.shape[2] != w:
+            x = x[:, :h, :w, :]
     else:
-        mask = None
+        x = L.layer_norm(params["norm1"], x)
+        x = W.pad_to_multiple(x, window_size)
+        _, hp, wp, _ = x.shape
 
-    x_windows = W.window_partition(x, window_size)  # [B*nW, ws*ws, C]
-    attn_windows = window_attention_forward(
-        params["attn"], x_windows, mask, num_heads, compute)
-    x = W.window_reverse(attn_windows, window_size, hp, wp)
+        if shift_size > 0:
+            x = W.roll_2d(x, -shift_size, -shift_size)
+            mask = attn_mask
+        else:
+            mask = None
 
-    if shift_size > 0:
-        x = W.roll_2d(x, shift_size, shift_size)
+        x_windows = W.window_partition(x, window_size)  # [B*nW, ws*ws, C]
+        attn_windows = window_attention_forward(
+            params["attn"], x_windows, mask, num_heads, compute)
+        x = W.window_reverse(attn_windows, window_size, hp, wp)
 
-    if hp != h or wp != w:
-        x = x[:, :h, :w, :]
+        if shift_size > 0:
+            x = W.roll_2d(x, shift_size, shift_size)
+
+        if hp != h or wp != w:
+            x = x[:, :h, :w, :]
 
     x = shortcut + x
     x = x + mlp_forward(params["mlp"], L.layer_norm(params["norm2"], x))
@@ -159,11 +178,13 @@ def basic_layer_forward(
     # Trace-time constant SW-MSA mask [nW, N, N] (reference: src/swin.rs:603-655).
     attn_mask = jnp.asarray(W.sw_msa_mask(hp, wp, window_size, shift_size))
 
-    if depth > 2 and depth % 2 == 0:
+    if depth > 2 and depth % 2 == 0 and not compute.unroll_deep_stage:
         # Deep stages (Swin-L stage 2: 18 blocks) run as lax.scan over
         # [no-shift, shift] block pairs with stacked params — the pair body
         # compiles ONCE instead of depth/2 times, cutting XLA compile time
-        # ~9x for the stage while keeping numerics identical.
+        # ~9x for the stage while keeping numerics identical. With
+        # compute.unroll_deep_stage the blocks unroll instead (measured
+        # 1.03-1.17x faster on TPU; XLA fuses across block boundaries).
         even = [params[f"blocks_{j}"] for j in range(0, depth, 2)]
         odd = [params[f"blocks_{j}"] for j in range(1, depth, 2)]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *even)

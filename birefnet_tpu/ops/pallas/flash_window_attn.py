@@ -156,13 +156,13 @@ def _flash_qkv(qkv, bias, mask, heads, interpret=False):
     c = c3 // 3
     d = c // heads
     nw = mask.shape[0] if mask is not None else 1
-    # VMEM: qkv block + bias (full, f32) + mask block + per-head scores
-    # temporaries (the unrolled head loop makes the compiler co-allocate
-    # several). Keep the qkv block small so the total stays well under the
-    # 16MB scoped budget.
-    cap = max(1, (3 * 1024 * 1024) // (n * c3 * qkv.dtype.itemsize))
+    # VMEM: qkv block + bias (full) + mask block + per-head score
+    # temporaries. v5e VMEM is 128MB; a measured bw sweep (round 2) showed
+    # larger window blocks win 10-30% (fewer grid steps, better pipelining),
+    # so budget 12MB for the qkv block and cap bw at 24.
+    cap = max(1, (12 * 1024 * 1024) // (n * c3 * qkv.dtype.itemsize))
     bw = 1
-    for cand in range(1, min(16, cap) + 1):
+    for cand in range(1, min(24, cap) + 1):
         if b_ % cand == 0 and (mask is None or nw % cand == 0):
             bw = cand
 
@@ -194,6 +194,7 @@ def _flash_qkv(qkv, bias, mask, heads, interpret=False):
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)

@@ -1,0 +1,226 @@
+"""Fully-fused Swin window-attention block kernel on NHWC tensors (N2+).
+
+One Pallas kernel computing, per grid step, for a column of `bw` windows
+read DIRECTLY from the padded(+rolled) NHWC tensor:
+
+    LN1 -> (zero pad-tokens) -> qkv matmul -> per-head
+    QK^T + rel-pos bias (+ SW-MSA mask) + softmax + PV -> proj matmul
+
+This removes, relative to the partition-then-kernel path:
+  - the window_partition / window_reverse HBM relayouts (measured ~4.3 ms
+    per batch-2 call inside the 18-block stage alone, plus similar outside),
+  - the HBM round-trips of the qkv projection and the attention output
+    (the fused-block prototype measured 1.14-1.27x on stages 1-2).
+
+Window geometry via BlockSpec: the x block is (1, bw*ws, Wp, C) — `bw`
+full window-ROWS (TPU BlockSpec minor dims must be (8k, 128k) or the full
+extent, so the W axis stays whole; the window split/merge inside the
+kernel is an in-VMEM transpose, ~HBM-free). Pad tokens
+(window grids overhang H, W) are zeroed AFTER the in-kernel LayerNorm,
+reproducing exactly the reference's LN -> zero-pad -> window order
+(reference: src/swin.rs:350-410); their positions are computed from the
+grid coordinates, including the cyclic-shift remap for shifted blocks.
+
+Numerics contract (identical to the unfused path): LN stats in f32,
+f32 matmul accumulation, q*scale in the input dtype, f32 softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            bias_ref, mask_ref, o_ref, *, heads, d, ws, bw, shift,
+            h_real, w_real, hp, wp, eps):
+    """Block = `bw` full window-ROWS: x_ref[0] is [bw*ws, Wp, C] (the full
+    width keeps the BlockSpec minor dims TPU-legal). Windows are split and
+    merged with in-VMEM transposes — VMEM-speed, vs the HBM relayouts of
+    the unfused path."""
+    n = ws * ws
+    c = heads * d
+    wc = wp // ws
+    nwin = bw * wc
+    tokens = x_ref[0].reshape(bw * ws * wp, c)
+
+    # --- LayerNorm (f32 stats; ops/layers.py::layer_norm semantics) ---
+    xf = tokens.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps)
+    h = h * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+
+    # --- Zero pad-tokens (the reference zero-pads AFTER norm1) ---
+    if hp != h_real or wp != w_real:
+        i = pl.program_id(1)
+        tok = jax.lax.broadcasted_iota(jnp.int32, (bw * ws * wp, 1), 0)
+        gr = i * (bw * ws) + tok // wp   # padded(+rolled) row
+        gc = tok % wp                    # padded(+rolled) col
+        if shift:
+            gr = jax.lax.rem(gr + shift, hp)
+            gc = jax.lax.rem(gc + shift, wp)
+        h = jnp.where((gr >= h_real) | (gc >= w_real), 0.0, h)
+    h = h.astype(tokens.dtype)
+
+    # --- window split: [bw, ws, wc, ws, C] -> [bw, wc, ws, ws, C] ---
+    h = h.reshape(bw, ws, wc, ws, c)
+    h = jnp.transpose(h, (0, 2, 1, 3, 4)).reshape(nwin * n, c)
+
+    # --- qkv projection (f32 accumulate, like ops/layers.py::linear) ---
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(h.dtype)
+    qkv = qkv.reshape(nwin, n, 3 * c)
+
+    # --- per-head fused attention (static lane slices of packed qkv) ---
+    scale = d ** -0.5
+    outs = []
+    for hh in range(heads):
+        q = qkv[:, :, hh * d:(hh + 1) * d] * scale
+        k = qkv[:, :, c + hh * d:c + (hh + 1) * d]
+        v = qkv[:, :, 2 * c + hh * d:2 * c + (hh + 1) * d]
+        extra = bias_ref[hh][None].astype(jnp.float32)
+        if mask_ref is not None:
+            extra = extra + mask_ref[...].reshape(nwin, n, n).astype(
+                jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) + extra
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(h.dtype))
+    attn = jnp.concatenate(outs, axis=-1).reshape(nwin * n, c)
+
+    # --- output projection (token-local: window order is fine) ---
+    y = jax.lax.dot_general(
+        attn, wproj_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = (y + bproj_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+    # --- window merge back to the row-strip layout ---
+    y = y.reshape(bw, wc, ws, ws, c)
+    y = jnp.transpose(y, (0, 2, 1, 3, 4)).reshape(bw * ws, wp, c)
+    o_ref[0] = y
+
+
+def _pick_bw(hc: int, wp: int, ws: int, c: int, itemsize: int) -> int:
+    """Window-rows per grid step: the largest divisor of the window-row
+    count whose qkv strip stays under ~12MB (measured round 2: bigger
+    blocks win until roughly there)."""
+    cap = max(1, (12 * 1024 * 1024) // (ws * wp * 3 * c * itemsize))
+    best = 1
+    for cand in range(1, min(hc, cap, 16) + 1):
+        if hc % cand == 0:
+            best = cand
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ws", "shift", "h_real", "w_real", "heads", "interpret"))
+def _fused(x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias, mask_grid,
+           ws, shift, h_real, w_real, heads, interpret=False):
+    b, hp, wp, c = x.shape
+    n = ws * ws
+    d = c // heads
+    hc, wc = hp // ws, wp // ws
+    bw = _pick_bw(hc, wp, ws, c, x.dtype.itemsize)
+
+    x_spec = pl.BlockSpec((1, bw * ws, wp, c), lambda bi, i: (bi, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [x_spec, full, full, full, full, full, full, full]
+    args = [x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias]
+    if mask_grid is not None:
+        in_specs.append(pl.BlockSpec((bw, wc, n, n),
+                                     lambda bi, i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask_grid)
+        kern = functools.partial(
+            _kernel, heads=heads, d=d, ws=ws, bw=bw, shift=shift,
+            h_real=h_real, w_real=w_real, hp=hp, wp=wp, eps=1e-5)
+    else:
+        def kern(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                 bproj_ref, bias_ref, o_ref):
+            _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                    bproj_ref, bias_ref, None, o_ref, heads=heads, d=d,
+                    ws=ws, bw=bw, shift=shift, h_real=h_real, w_real=w_real,
+                    hp=hp, wp=wp, eps=1e-5)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
+        grid=(b, hc // bw),
+        in_specs=in_specs,
+        out_specs=x_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_window_block_attention(
+    x: jax.Array,
+    norm1_params,
+    attn_params,
+    window_size: int,
+    shift_size: int,
+    num_heads: int,
+    attn_mask: Optional[jax.Array],
+    h_real: int,
+    w_real: int,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """LN1 + windowed attention + proj on a padded(+rolled) NHWC tensor.
+
+    Args:
+      x: [B, Hp, Wp, C] — PRE-norm activations, already padded to window
+        multiples and (for shifted blocks) already cyclically rolled by
+        -shift_size. Pad positions may hold arbitrary values; the kernel
+        zeroes them post-LN exactly like the unfused path.
+      norm1_params: {"scale", "bias"}; attn_params: {"qkv", "proj",
+        "cached_bias"} (see models/swin.py).
+      attn_mask: [nW, N, N] SW-MSA mask for shifted blocks (row-major
+        window order), or None.
+      h_real/w_real: the unpadded spatial extent (pre-roll coordinates).
+
+    Returns [B, Hp, Wp, C] attention output (residual NOT added; pad
+    region contents are unspecified and must be cropped by the caller).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hp, wp, c = x.shape
+    ws = window_size
+    n = ws * ws
+    bias = attn_params["cached_bias"]
+    mask_grid = None
+    if attn_mask is not None:
+        mask_grid = attn_mask.reshape(hp // ws, wp // ws, n, n)
+    if x.dtype == jnp.bfloat16:
+        bias = bias.astype(jnp.bfloat16)
+        if mask_grid is not None:
+            mask_grid = mask_grid.astype(jnp.bfloat16)
+    # Weights cast outside the kernel so the (f32-stored) params are not
+    # DMA'd at double width every grid step.
+    return _fused(
+        x, norm1_params["scale"], norm1_params["bias"],
+        attn_params["qkv"]["kernel"].astype(x.dtype),
+        attn_params["qkv"]["bias"],
+        attn_params["proj"]["kernel"].astype(x.dtype),
+        attn_params["proj"]["bias"],
+        bias, mask_grid, ws, shift_size, h_real, w_real, num_heads,
+        interpret=interpret)

@@ -118,3 +118,48 @@ def test_qkv_packed_kernel_matches_naive(rng):
     got2 = np.asarray(flash_window_attention_qkv(
         jnp.asarray(qkv), jnp.asarray(bias), None, heads, interpret=True))
     np.testing.assert_allclose(got2, naive2, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused NHWC window-block kernel (ops/pallas/fused_block_attn.py): the full
+# LN1+qkv+attn+proj block vs the unfused swin_block_forward path.
+# ---------------------------------------------------------------------------
+
+def _block_params(rng, c, heads):
+    def lin(i, o):
+        return {"kernel": jnp.asarray(_rand(rng, (i, o)) * 0.05),
+                "bias": jnp.asarray(_rand(rng, (o,)))}
+    n = 144
+    return {
+        "norm1": {"scale": jnp.asarray(1 + 0.1 * _rand(rng, (c,))),
+                  "bias": jnp.asarray(0.1 * _rand(rng, (c,)))},
+        "norm2": {"scale": jnp.asarray(1 + 0.1 * _rand(rng, (c,))),
+                  "bias": jnp.asarray(0.1 * _rand(rng, (c,)))},
+        "attn": {"qkv": lin(c, 3 * c), "proj": lin(c, c),
+                 "cached_bias": jnp.asarray(_rand(rng, (heads, n, n)))},
+        "mlp": {"fc1": lin(c, 4 * c), "fc2": lin(4 * c, c)},
+    }
+
+
+@pytest.mark.parametrize("shift", [0, 6])
+@pytest.mark.parametrize("hw", [(24, 24), (20, 17)])  # exact grid + padded
+def test_fused_nhwc_block_matches_unfused(rng, shift, hw):
+    from birefnet_tpu.models.swin import swin_block_forward
+    from birefnet_tpu.configs import ComputeConfig
+    from birefnet_tpu.ops import window as W
+
+    c, heads, ws = 64, 2, 12
+    h, w = hw
+    params = _block_params(rng, c, heads)
+    x = jnp.asarray(_rand(rng, (2, h, w, c)))
+    hp = -(-h // ws) * ws
+    wp = -(-w // ws) * ws
+    attn_mask = jnp.asarray(W.sw_msa_mask(hp, wp, ws, ws // 2))
+
+    want = np.asarray(swin_block_forward(
+        params, x, ws, shift, heads, attn_mask,
+        ComputeConfig(use_flash_attention=False)), np.float32)
+    got = np.asarray(swin_block_forward(
+        params, x, ws, shift, heads, attn_mask,
+        ComputeConfig(use_flash_attention=True)), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
