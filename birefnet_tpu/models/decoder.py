@@ -98,6 +98,50 @@ def image2patches(x: jax.Array, target_h: int, target_w: int) -> jax.Array:
     return x.reshape(b, target_h, target_w, c * gh * gw)
 
 
+def _composed_pair_conv(pa, pb, x: jax.Array) -> jax.Array:
+    """conv3x3_B(conv3x3_A(x)) with no nonlinearity between, as ONE
+    composed 5x5 conv on the interior plus an exact 1-px border recompute.
+
+    The composition is exact everywhere EXCEPT the outermost output ring:
+    there the pipeline's crop-then-zero-pad of the intermediate differs
+    from the composed conv's view, so the four border strips are
+    recomputed with the original pair on 3-row/3-col slices (~1% of the
+    work). Used for the decoder's full-resolution ipt1 head
+    (3->64 then folded 64->1 at 1024^2): ~30x fewer FLOPs than running
+    the 64-channel intermediate at full resolution.
+    """
+    wa, ba = pa["kernel"], pa.get("bias")
+    wb, bb = pb["kernel"], pb.get("bias")
+    kh, kw, ci, mid = wa.shape
+    _, _, _, co = wb.shape
+
+    # Composed kernel K[u1+u2, v1+v2, i, o] = sum_m A[u1,v1,i,m] B[u2,v2,m,o]
+    k_comp = jnp.zeros((kh + 2, kw + 2, ci, co), wa.dtype)
+    for u1 in range(kh):
+        for v1 in range(kw):
+            k_comp = k_comp.at[u1:u1 + 3, v1:v1 + 3].add(
+                jnp.einsum("im,uvmo->uvio", wa[u1, v1], wb))
+    b_comp = jnp.einsum("uvmo,m->o", wb, ba) if ba is not None else None
+    if bb is not None:
+        b_comp = bb if b_comp is None else b_comp + bb
+    comp = {"kernel": k_comp}
+    if b_comp is not None:
+        comp["bias"] = b_comp
+    out = L.conv2d(comp, x, padding=2)
+
+    def pair(strip):
+        return L.conv2d(pb, L.conv2d(pa, strip, padding=1), padding=1)
+
+    h, w = x.shape[1:3]
+    top = pair(x[:, 0:3])[:, 0:1]
+    bot = pair(x[:, h - 3:])[:, 2:3]
+    left = pair(x[:, :, 0:3])[:, :, 0:1]
+    right = pair(x[:, :, w - 3:])[:, :, 2:3]
+    out = jnp.concatenate([top, out[:, 1:h - 1], bot], axis=1)
+    return jnp.concatenate(
+        [left, out[:, :, 1:w - 1], right], axis=2)
+
+
 def decoder_forward(
     params,
     cfg: BiRefNetConfig,
@@ -124,9 +168,9 @@ def decoder_forward(
     ipt4 = simple_convs_forward(params["ipt_blk4"], image2patches(x, h // 16, w // 16))
     ipt3 = simple_convs_forward(params["ipt_blk3"], image2patches(x, h // 8, w // 8))
     ipt2 = simple_convs_forward(params["ipt_blk2"], image2patches(x, h // 4, w // 4))
-    # ipt1 feeds ONLY the final head; its conv_out is folded into the head
-    # below, so only the first conv (3->64) runs at full resolution.
-    ipt1_hidden = L.conv2d(params["ipt_blk1"]["conv1"], x, padding=1)
+    # ipt1 feeds ONLY the final head; its whole linear chain (conv 3->64,
+    # folded conv 64->1) is composed into one 5x5 conv below, so nothing
+    # 64-channel ever runs at full resolution.
 
     def gdt_gate(p, stage: str) -> jax.Array:
         """p * sigmoid(conv1x1(GdtConvs(p))) (reference: src/birefnet.rs:327-329)."""
@@ -191,11 +235,13 @@ def decoder_forward(
     logit_p1 = L.conv2d({"kernel": w_p1, "bias": b_p1[None]}, p1_feat,
                         padding=1)
 
-    # ipt1 branch fold: W[3,3,64,1], b scalar (SimpleConvs has no BN).
+    # ipt1 branch fold: W[3,3,64,1], b scalar (SimpleConvs has no BN);
+    # then compose with the 3->64 input conv into one 5x5 (3->1) conv
+    # with an exact border recompute (_composed_pair_conv).
     w_i1 = jnp.einsum("hwcd,do->hwco", ipt1p["conv_out"]["kernel"], k_ipt1)
     b_i1 = (ipt1p["conv_out"]["bias"] @ k_ipt1)[..., 0]
-    logit_ipt1 = L.conv2d({"kernel": w_i1, "bias": b_i1[None]}, ipt1_hidden,
-                          padding=1)
+    logit_ipt1 = _composed_pair_conv(
+        ipt1p["conv1"], {"kernel": w_i1, "bias": b_i1[None]}, x)
 
     logits = (resize_bilinear_align_corners(logit_p1, h, w)
               + resize_bilinear_align_corners(logit_ipt1, h, w))

@@ -137,6 +137,15 @@ def swin_block_forward(
             x = x[:, :h, :w, :]
 
     x = shortcut + x
+    if compute.use_flash_attention:
+        # Token-local second half of the block fused into one kernel:
+        # LN2 + fc1 + erf-GELU + fc2 + residual (the [T, 4C] hidden never
+        # round-trips HBM; see ops/pallas/fused_mlp.py).
+        from ..ops.pallas import fused_mlp
+        fused = fused_mlp.fused_mlp_residual(x, params["norm2"],
+                                             params["mlp"])
+        if fused is not None:
+            return fused
     x = x + mlp_forward(params["mlp"], L.layer_norm(params["norm2"], x))
     return x
 
