@@ -95,6 +95,7 @@ def main(argv=None) -> int:
         use_flash_attention=use_flash,
         use_pallas_deform=on_tpu and not args.no_pallas_deform,
         deform_mode=args.deform_mode,
+        unroll_deep_stage=on_tpu,
     )
     cfg = bt.BiRefNetConfig.swin_l()
     if args.size != 1024:

@@ -239,14 +239,20 @@ def patch_embed_forward(params, x: jax.Array, patch_size: int) -> jax.Array:
     if pad_h or pad_w:
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     b, h, w, c = x.shape
-    # space-to-depth: [B, H/p, W/p, p*p*c] ordered (ph, pw, c) to match the
-    # HWIO kernel flattening.
-    xs = x.reshape(b, h // p, p, w // p, p, c)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p, p * p * c)
-    kernel = params["proj"]["kernel"].reshape(p * p * c, -1)
-    y = jnp.einsum("bhwi,io->bhwo", xs, kernel.astype(xs.dtype),
-                   precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
+    # Space-to-depth WITHOUT the 6D transpose (measured 1.1 ms/call at
+    # 1024^2 batch 2 — the dominant patch-embed cost): per patch-row
+    # `ph`, a stride-p row slice makes (pw, c) lane-contiguous for free,
+    # and the kernel's matching [p*c, O] slice absorbs the ordering. The
+    # p thin matmuls accumulate in f32.
+    kernel = params["proj"]["kernel"]  # [p, p, c, O]
+    y = None
+    for ph in range(p):
+        xph = x[:, ph::p, :, :].reshape(b, h // p, w // p, p * c)
+        w_ph = kernel[ph].reshape(p * c, -1)
+        part = jnp.einsum("bhwi,io->bhwo", xph, w_ph.astype(xph.dtype),
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        y = part if y is None else y + part
     y = (y + params["proj"]["bias"].astype(jnp.float32)).astype(x.dtype)
     if "norm" in params:
         y = L.layer_norm(params["norm"], y)

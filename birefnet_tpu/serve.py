@@ -77,6 +77,7 @@ def main(argv=None) -> int:
         use_flash_attention=on_tpu and "DISABLE_FLASH_ATTN" not in os.environ,
         use_pallas_deform=on_tpu,
         deform_mode=args.deform_mode,
+        unroll_deep_stage=on_tpu,
     )
     print(f"Loading {ckpt} ...")
     params = bt.load_checkpoint(ckpt, cfg)

@@ -228,3 +228,28 @@ def test_config_variants_end_to_end(rng, mul_scl, cxt):
     y = bt.birefnet.forward_logits(params, cfg, jnp.asarray(x))
     assert y.shape == (1, 64, 64, 1)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_deformable_local_mode_matches_faithful_in_aspp(rng):
+    """deform_mode="deformable-local" == "deformable" through a real
+    DeformConvASPP whenever the learned offsets stay within the clamp
+    radius (they do at this scale: offsets come from a small-weight conv
+    of bounded inputs)."""
+    npr = rng
+    cin, cout, k, hw = 16, 24, 7, 24
+    off = _conv_params(npr, cin, 2 * k * k, k)
+    off = {"kernel": off["kernel"] * 0.05, "bias": off["bias"] * 0.05}
+    params = {
+        "offset_conv": off,  # scaled so |offset| stays inside the radius
+        "modulator_conv": _conv_params(npr, cin, k * k, k),
+        "regular_conv": _conv_params(npr, cin, cout, k, bias=False),
+    }
+    x = jnp.asarray(npr.normal(size=(2, hw, hw, cin)).astype(np.float32))
+    exact = baspp.deform_conv_aspp_forward(
+        params, x, k, k // 2, bt.ComputeConfig(deform_mode="deformable"))
+    local = baspp.deform_conv_aspp_forward(
+        params, x, k, k // 2,
+        bt.ComputeConfig(deform_mode="deformable-local",
+                         deform_local_radius=6))
+    np.testing.assert_allclose(np.asarray(local), np.asarray(exact),
+                               atol=5e-5, rtol=1e-4)
