@@ -116,15 +116,12 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 
 
 def _pick_bw(hc: int, wp: int, ws: int, c: int, itemsize: int) -> int:
-    """Window-rows per grid step: the largest divisor of the window-row
-    count whose qkv strip stays under ~12MB (measured round 2: bigger
-    blocks win until roughly there)."""
-    cap = max(1, (12 * 1024 * 1024) // (ws * wp * 3 * c * itemsize))
-    best = 1
-    for cand in range(1, min(hc, cap, 16) + 1):
-        if hc % cand == 0:
-            best = cand
-    return best
+    """Window-rows per grid step. Measured (round 2, v5e, batch 2): ONE
+    window-row per step wins at every stage — a full-width strip already
+    holds 3-22 windows, and more grid steps pipeline DMA against the
+    attention loop better than bigger blocks do (st0: 1.81 ms at bw=1 vs
+    2.12 at bw=2; st2: 0.57 vs 0.66 at bw=3)."""
+    return 1
 
 
 @functools.partial(

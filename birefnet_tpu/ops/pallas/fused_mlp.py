@@ -70,7 +70,7 @@ def _pick_tile(t: int, c: int, itemsize: int) -> Optional[int]:
     activation under ~8MB."""
     cap = max(8, (8 * 1024 * 1024) // (4 * c * itemsize))
     best = None
-    for cand in range(8, min(t, cap, 2048) + 1, 8):
+    for cand in range(8, min(t, cap, 4096) + 1, 8):
         if t % cand == 0:
             best = cand
     return best

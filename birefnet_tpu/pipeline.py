@@ -78,6 +78,8 @@ def make_infer_fn(
       out_size: (h, w) of the returned mask; defaults to the input frame size.
     Returns a jitted fn: [B, H, W, 3] uint8 -> [B, out_h, out_w] mask.
     """
+    from .params import cast_matmul_weights
+    params = cast_matmul_weights(params, compute.dtype)
 
     @jax.jit
     def infer(frames_u8: jax.Array) -> jax.Array:

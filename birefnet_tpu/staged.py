@@ -54,6 +54,10 @@ def make_staged_infer_fn(
     `BiRefNet::new` (reference: src/birefnet.rs:389).
     """
     swin_cfg = cfg.swin_config()
+    # One-time kernel cast to the compute dtype (else ~1.6 ms/call/unit of
+    # f32->bf16 weight conversion re-runs inside every program).
+    from .params import cast_matmul_weights
+    params = cast_matmul_weights(params, compute.dtype)
 
     @jax.jit
     def pre(frames_u8):
