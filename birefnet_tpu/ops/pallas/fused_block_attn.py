@@ -35,6 +35,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Measured best head-group size per head count (round 2, v5e, batch 2):
+# g-fold fewer MXU issues beats the g-fold block-diagonal FLOP waste up to
+# these g (1.13-1.17x per stage); heads not listed run the per-head loop.
+_PACKED_G = {6: 2, 12: 4, 24: 4, 48: 8}
+
 
 def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             bias_ref, mask_ref, o_ref, *, heads, d, ws, bw, shift,
@@ -80,26 +85,79 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(h.dtype)
     qkv = qkv.reshape(nwin, n, 3 * c)
 
-    # --- per-head fused attention (static lane slices of packed qkv) ---
+    # --- attention core ---
+    # Head-GROUP packing (measured round 2): the per-head [nwin, 144, 32]
+    # micro-dots are MXU-issue-bound (a NOATTN ablation put the core at
+    # ~80% of the stage-0 kernel at ~21 TF/s). Packing g heads into one
+    # block-diagonal QK/PV dot pair trades g-fold FLOP waste for g-fold
+    # fewer issues — net 1.13-1.17x at the measured per-stage g. Per-head
+    # sums come from a tiny block-ones matmul; a single group-wide row max
+    # keeps the softmax exact (any m >= rowmax is valid).
     scale = d ** -0.5
+    g = _PACKED_G.get(heads, 1)
     outs = []
-    for hh in range(heads):
-        q = qkv[:, :, hh * d:(hh + 1) * d] * scale
-        k = qkv[:, :, c + hh * d:c + (hh + 1) * d]
-        v = qkv[:, :, 2 * c + hh * d:2 * c + (hh + 1) * d]
-        extra = bias_ref[hh][None].astype(jnp.float32)
+    if g <= 1:
+        for hh in range(heads):
+            q = qkv[:, :, hh * d:(hh + 1) * d] * scale
+            k = qkv[:, :, c + hh * d:c + (hh + 1) * d]
+            v = qkv[:, :, 2 * c + hh * d:2 * c + (hh + 1) * d]
+            extra = bias_ref[hh][None].astype(jnp.float32)
+            if mask_ref is not None:
+                extra = extra + mask_ref[...].reshape(nwin, n, n).astype(
+                    jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) + extra
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(h.dtype))
+    else:
+        gd, gn = g * d, g * n
         if mask_ref is not None:
-            extra = extra + mask_ref[...].reshape(nwin, n, n).astype(
-                jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) + extra
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(h.dtype))
+            mask_t = jnp.tile(
+                mask_ref[...].reshape(nwin, n, n).astype(jnp.float32),
+                (1, 1, g))
+        r_bd = jax.lax.broadcasted_iota(jnp.int32, (gn, gd), 0) // n
+        c_bd = jax.lax.broadcasted_iota(jnp.int32, (gn, gd), 1) // d
+        bd_mask = (r_bd == c_bd)[None]
+        r_o = jax.lax.broadcasted_iota(jnp.int32, (gn, g), 0) // n
+        c_o = jax.lax.broadcasted_iota(jnp.int32, (gn, g), 1)
+        ones_bd = (r_o == c_o).astype(h.dtype)
+        r_e = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+        c_e = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+        ones_exp = (r_e == c_e).astype(jnp.float32)
+        for j in range(heads // g):
+            q = qkv[:, :, j * gd:(j + 1) * gd] * scale
+            k = qkv[:, :, c + j * gd:c + (j + 1) * gd]
+            v = qkv[:, :, 2 * c + j * gd:2 * c + (j + 1) * gd]
+            k_bd = jnp.where(bd_mask, jnp.tile(k, (1, g, 1)),
+                             jnp.zeros((), k.dtype))
+            s = jax.lax.dot_general(
+                q, k_bd, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            extra = jnp.concatenate(
+                [bias_ref[j * g + hh] for hh in range(g)],
+                axis=-1)[None].astype(jnp.float32)
+            if mask_ref is not None:
+                extra = extra + mask_t
+            s = s + extra
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m).astype(h.dtype)
+            v_bd = jnp.where(bd_mask, jnp.tile(v, (1, g, 1)),
+                             jnp.zeros((), v.dtype))
+            o = jax.lax.dot_general(
+                p, v_bd, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            sums = jax.lax.dot_general(
+                p, ones_bd, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            denom = jax.lax.dot_general(
+                sums, ones_exp, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append((o / denom).astype(h.dtype))
     attn = jnp.concatenate(outs, axis=-1).reshape(nwin * n, c)
 
     # --- output projection (token-local: window order is fine) ---

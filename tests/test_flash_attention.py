@@ -143,12 +143,14 @@ def _block_params(rng, c, heads):
 
 @pytest.mark.parametrize("shift", [0, 6])
 @pytest.mark.parametrize("hw", [(24, 24), (20, 17)])  # exact grid + padded
-def test_fused_nhwc_block_matches_unfused(rng, shift, hw):
+# heads=2 exercises the per-head loop, heads=6 the packed-group core
+@pytest.mark.parametrize("heads,c", [(2, 64), (6, 192)])
+def test_fused_nhwc_block_matches_unfused(rng, shift, hw, heads, c):
     from birefnet_tpu.models.swin import swin_block_forward
     from birefnet_tpu.configs import ComputeConfig
     from birefnet_tpu.ops import window as W
 
-    c, heads, ws = 64, 2, 12
+    ws = 12
     h, w = hw
     params = _block_params(rng, c, heads)
     x = jnp.asarray(_rand(rng, (2, h, w, c)))
