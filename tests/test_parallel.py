@@ -127,8 +127,13 @@ def test_spatial_sharding_hlo_has_halo_collectives(mesh8, rng):
 
     x = jnp.asarray(rng.normal(size=(1, 96, 96, 3)).astype(np.float32))
     hlo = stage0.lower(params, x).compile().as_text()
+    # GSPMD's choice of collective varies with the surrounding graph (it
+    # emitted collective-permute before the patch-embed rewrite, all-reduce
+    # after); the invariant is that cross-shard communication exists at all
+    # (correctness itself is covered by the sharded-vs-dense equivalences).
     assert ("collective-permute" in hlo or "all-gather" in hlo
-            or "all-to-all" in hlo), "no halo collectives in sharded HLO"
+            or "all-to-all" in hlo or "all-reduce" in hlo), \
+        "no cross-shard collectives in sharded HLO"
 
 
 def test_hr_sharded_256_matches_dense(rng):
