@@ -68,6 +68,49 @@ def main():
               f"{t_fused:>9.3f} "
               f"{t_naive / t_fused:>7.2f}x {diff:>10.4f}")
 
+    # The SHIPPING path: the fused NHWC Swin-block kernel (LN1 + qkv +
+    # packed-head attention + proj straight off the padded NHWC tensor,
+    # ops/pallas/fused_block_attn.py), vs the unfused block.
+    import birefnet_tpu as bt
+    from birefnet_tpu.models.swin import swin_block_forward
+    from birefnet_tpu.ops import window as Wops
+    print(f"\n{'full swin block':>16} {'unfused ms':>11} {'fused ms':>9} "
+          f"{'speedup':>8}")
+    for label, hp, c, heads in (("stage0 1024", 264, 192, 6),
+                                ("stage1 1024", 132, 384, 12),
+                                ("stage2 1024", 72, 768, 24)):
+        x = jnp.asarray(rng.normal(size=(2, hp, hp, c)) * 0.1, dtype)
+        params = {
+            "norm1": {"scale": jnp.ones((c,), jnp.float32),
+                      "bias": jnp.zeros((c,), jnp.float32)},
+            "norm2": {"scale": jnp.ones((c,), jnp.float32),
+                      "bias": jnp.zeros((c,), jnp.float32)},
+            "attn": {
+                "qkv": {"kernel": jnp.asarray(
+                    rng.normal(0, .05, size=(c, 3 * c)), jnp.float32),
+                    "bias": jnp.zeros((3 * c,), jnp.float32)},
+                "proj": {"kernel": jnp.asarray(
+                    rng.normal(0, .05, size=(c, c)), jnp.float32),
+                    "bias": jnp.zeros((c,), jnp.float32)},
+                "cached_bias": jnp.asarray(
+                    rng.normal(size=(heads, 144, 144)), jnp.float32)},
+            "mlp": {"fc1": {"kernel": jnp.asarray(
+                rng.normal(0, .05, size=(c, 4 * c)), jnp.float32),
+                "bias": jnp.zeros((4 * c,), jnp.float32)},
+                "fc2": {"kernel": jnp.asarray(
+                    rng.normal(0, .05, size=(4 * c, c)), jnp.float32),
+                    "bias": jnp.zeros((c,), jnp.float32)}},
+        }
+        amask = jnp.asarray(Wops.sw_msa_mask(hp, hp, 12, 6))
+
+        def blk(t, flash):
+            return swin_block_forward(
+                params, t, 12, 6, heads, amask,
+                bt.ComputeConfig(dtype=dtype, use_flash_attention=flash))
+        t_un = device_busy_ms(jax.jit(lambda t: blk(t, False)), x)
+        t_fu = device_busy_ms(jax.jit(lambda t: blk(t, True)), x)
+        print(f"{label:>16} {t_un:>11.3f} {t_fu:>9.3f} {t_un / t_fu:>7.2f}x")
+
 
 if __name__ == "__main__":
     main()
