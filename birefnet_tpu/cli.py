@@ -58,10 +58,14 @@ def main(argv=None) -> int:
                         help="disable the Pallas flash-attention kernel")
     parser.add_argument("--no-pallas-deform", action="store_true",
                         help="disable the Pallas deformable-conv kernel")
-    parser.add_argument("--deform-mode", choices=("deformable", "regular"),
+    parser.add_argument("--deform-mode",
+                        choices=("deformable", "deformable-local", "regular"),
                         default="deformable",
                         help="deformable = true sampling (reference Metal "
-                             "path); regular = candle-CPU-compat plain conv")
+                             "path); deformable-local = true sampling with "
+                             "offsets clamped +-4 px, ~4x faster on TPU "
+                             "(MXU one-hot sampler); regular = "
+                             "candle-CPU-compat plain conv")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU execution")
     args = parser.parse_args(argv)

@@ -35,7 +35,8 @@ def main(argv=None) -> int:
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--dtype", choices=("float32", "bfloat16"),
                         default="bfloat16")
-    parser.add_argument("--deform-mode", choices=("deformable", "regular"),
+    parser.add_argument("--deform-mode",
+                        choices=("deformable", "deformable-local", "regular"),
                         default="deformable")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
