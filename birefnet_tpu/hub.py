@@ -72,10 +72,24 @@ def download(repo_id: str = DEFAULT_REPO, filename: str = DEFAULT_FILE,
     dest = os.path.join(snap_dir, filename)
     partial = dest + ".partial"
 
+    # Resume validation: a Range resume is only safe if the remote file is
+    # unchanged since the partial was written. The ETag observed at the start
+    # of the download is stored next to the .partial; on resume it is sent as
+    # If-Range so the server returns 206 only when the validator still
+    # matches (a changed file yields 200 -> full restart). A partial with no
+    # stored validator is discarded rather than trusted.
+    etag_path = partial + ".etag"
     offset = os.path.getsize(partial) if os.path.exists(partial) else 0
+    etag = None
+    if offset and os.path.exists(etag_path):
+        with open(etag_path, "r", encoding="utf-8") as f:
+            etag = f.read().strip() or None
+    if offset and etag is None:
+        offset = 0  # unvalidatable partial: restart from scratch
     req = urllib.request.Request(url)
     if offset:
         req.add_header("Range", f"bytes={offset}-")
+        req.add_header("If-Range", etag)
     try:
         resp = urllib.request.urlopen(req, timeout=30)
     except (urllib.error.URLError, OSError) as e:
@@ -85,7 +99,14 @@ def download(repo_id: str = DEFAULT_REPO, filename: str = DEFAULT_FILE,
             f"{dest}") from e
 
     if offset and resp.status != 206:
-        offset = 0  # server ignored Range: restart from scratch
+        offset = 0  # Range refused or file changed (If-Range): full restart
+    if not offset:
+        new_etag = resp.headers.get("ETag")
+        if new_etag:
+            with open(etag_path, "w", encoding="utf-8") as f:
+                f.write(new_etag)
+        elif os.path.exists(etag_path):
+            os.remove(etag_path)
     mode = "ab" if offset else "wb"
     total = resp.headers.get("Content-Length")
     total = int(total) + offset if total else None
@@ -108,4 +129,6 @@ def download(repo_id: str = DEFAULT_REPO, filename: str = DEFAULT_FILE,
             f"truncated download of {url}: got {done} of {total} bytes "
             f"(partial kept at {partial}; rerun to resume)")
     os.replace(partial, dest)
+    if os.path.exists(etag_path):
+        os.remove(etag_path)
     return dest

@@ -202,10 +202,16 @@ def deform_conv2d_local(
     oh_pad, ow_pad = n_th * tile, n_tw * tile
 
     # Zero-pad the input so every tile's source window is in bounds and
-    # out-of-image corners contribute exactly zero.
+    # out-of-image corners contribute exactly zero. Per-axis high-side halo
+    # (exact): the last tile's window ends at
+    #   (n_t-1)*tile + s = o_pad + ext + 2R + 3
+    # in x_pad coordinates, and x_pad extent is halo_lo + in + halo_hi, so
+    # with in = o - 2*padding + ext the requirement reduces to
+    #   halo_hi >= (o_pad - o) + padding + radius + 2.
     halo_lo = padding + radius + 1
-    halo_hi = halo_lo + ext_h + tile + (oh_pad - oh) + (ow_pad - ow)
-    x_pad = jnp.pad(x, ((0, 0), (halo_lo, halo_hi), (halo_lo, halo_hi),
+    halo_hi_h = padding + radius + 2 + (oh_pad - oh)
+    halo_hi_w = padding + radius + 2 + (ow_pad - ow)
+    x_pad = jnp.pad(x, ((0, 0), (halo_lo, halo_hi_h), (halo_lo, halo_hi_w),
                         (0, 0)))
 
     # Tap geometry (row-major taps, matching offset channel order).

@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import tuning
+
 
 def _kernel(offy_ref, offx_ref, mask_ref, x_hbm, w_ref, o_ref, win, sem, *,
             tile, kh, kw, dilation, radius, s_h, s_w, c, out_c, n_tw,
@@ -153,7 +155,7 @@ def _run(x_pad, offy, offx, maskt, w3, *, oh_pad, ow_pad, kh, kw, padding,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=tuning.vmem_limit_bytes(),
         ),
         interpret=interpret,
     )(offy, offx, maskt, x_pad, w3)

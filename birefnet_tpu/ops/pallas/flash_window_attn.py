@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import tuning
+
 
 def _pick_window_block(b_windows: int, n_mask_windows: Optional[int]) -> int:
     """Windows per grid step: the largest divisor of B_ (and of the mask
@@ -160,7 +162,7 @@ def _flash_qkv(qkv, bias, mask, heads, interpret=False):
     # temporaries. v5e VMEM is 128MB; a measured bw sweep (round 2) showed
     # larger window blocks win 10-30% (fewer grid steps, better pipelining),
     # so budget 12MB for the qkv block and cap bw at 24.
-    cap = max(1, (12 * 1024 * 1024) // (n * c3 * qkv.dtype.itemsize))
+    cap = max(1, tuning.block_budget_bytes() // (n * c3 * qkv.dtype.itemsize))
     bw = 1
     for cand in range(1, min(24, cap) + 1):
         if b_ % cand == 0 and (mask is None or nw % cand == 0):
@@ -194,7 +196,7 @@ def _flash_qkv(qkv, bias, mask, heads, interpret=False):
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=tuning.vmem_limit_bytes(),
         ),
         interpret=interpret,
     )(*args)

@@ -21,8 +21,12 @@ reproducing exactly the reference's LN -> zero-pad -> window order
 (reference: src/swin.rs:350-410); their positions are computed from the
 grid coordinates, including the cyclic-shift remap for shifted blocks.
 
-Numerics contract (identical to the unfused path): LN stats in f32,
-f32 matmul accumulation, q*scale in the input dtype, f32 softmax.
+Numerics contract: LN stats in f32, f32 matmul accumulation, q*scale in
+the input dtype. The per-head path (g=1) keeps the full f32 softmax of the
+unfused path; the packed head-group path rounds the unnormalized softmax
+weights exp(s-m) to the input dtype before the PV dot and normalizes after
+(in bf16 runs this deviates from the unfused path by ~1 bf16 ulp; the f32
+path is exact). Covered by the on-TPU accuracy gate (PARITY.md).
 """
 
 from __future__ import annotations
@@ -34,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from . import tuning
 
 # Measured best head-group size per head count (round 2, v5e, batch 2):
 # g-fold fewer MXU issues beats the g-fold block-diagonal FLOP waste up to
@@ -173,13 +179,12 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     o_ref[0] = y
 
 
-def _pick_bw(hc: int, wp: int, ws: int, c: int, itemsize: int) -> int:
-    """Window-rows per grid step. Measured (round 2, v5e, batch 2): ONE
-    window-row per step wins at every stage — a full-width strip already
-    holds 3-22 windows, and more grid steps pipeline DMA against the
-    attention loop better than bigger blocks do (st0: 1.81 ms at bw=1 vs
-    2.12 at bw=2; st2: 0.57 vs 0.66 at bw=3)."""
-    return 1
+# Window-rows per grid step. Measured (round 2, v5e, batch 2): ONE
+# window-row per step wins at every stage — a full-width strip already
+# holds 3-22 windows, and more grid steps pipeline DMA against the
+# attention loop better than bigger blocks do (st0: 1.81 ms at bw=1 vs
+# 2.12 at bw=2; st2: 0.57 vs 0.66 at bw=3).
+_BW = 1
 
 
 @functools.partial(
@@ -191,7 +196,7 @@ def _fused(x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias, mask_grid,
     n = ws * ws
     d = c // heads
     hc, wc = hp // ws, wp // ws
-    bw = _pick_bw(hc, wp, ws, c, x.dtype.itemsize)
+    bw = _BW
 
     x_spec = pl.BlockSpec((1, bw * ws, wp, c), lambda bi, i: (bi, i, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -222,7 +227,7 @@ def _fused(x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias, mask_grid,
         out_specs=x_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=tuning.vmem_limit_bytes(),
         ),
         interpret=interpret,
     )(*args)

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import tuning
+
 
 def _erf(z, fast: bool = False):
     """f32 erf via Abramowitz-Stegun. Mosaic TPU lowers neither erf nor
@@ -103,7 +105,7 @@ def _fused(x2d, ln_g, ln_b, w1, b1, w2, b2, interpret=False):
         out_specs=spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=tuning.vmem_limit_bytes(),
         ),
         interpret=interpret,
     )(x2d, ln_g, ln_b, w1, b1, w2, b2)

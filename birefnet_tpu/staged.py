@@ -48,10 +48,12 @@ def make_staged_infer_fn(
     donated (callers legitimately reuse the same input array across calls).
 
     warmup_batch: if given, ALL units are AOT-compiled at construction for
-    that batch size (via jit .lower().compile(), which hits the persistent
-    compile cache when warm) so the first inference call pays no compile —
-    the analog of the reference pre-building its whole program at
-    `BiRefNet::new` (reference: src/birefnet.rs:389).
+    that batch size and the returned fn dispatches through the compiled
+    executables directly (jit.lower().compile() does NOT seed jit's own
+    dispatch cache, so calling the jit wrappers would re-trace on the first
+    call) — the analog of the reference pre-building its whole program at
+    `BiRefNet::new` (reference: src/birefnet.rs:389). Shapes other than the
+    warmed one fall back to the jit path.
     """
     swin_cfg = cfg.swin_config()
     # One-time kernel cast to the compute dtype (else ~1.6 ms/call/unit of
@@ -101,33 +103,50 @@ def make_staged_infer_fn(
         mask = L.sigmoid(logits)
         return pipeline.postprocess(mask, oh, ow, as_uint8=as_uint8)
 
+    aot = {}
+    if warmup_batch is not None:
+        # AOT-compile every unit with abstract values and KEEP the compiled
+        # executables: the first real call at the warmed shape dispatches
+        # into them with zero tracing/compilation.
+        b = warmup_batch
+        h, w = out_size if out_size is not None else cfg.size
+        frames_s = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
+        x_s = jax.eval_shape(pre, frames_s)
+        aot["pre"] = pre.lower(frames_s).compile()
+        aot["backbone_full"] = backbone.lower(params["bb"], x_s).compile()
+        feats_s = jax.eval_shape(backbone, params["bb"], x_s)
+        feats_half_s = None
+        if cfg.mul_scl_ipt:
+            aot["half_input"] = half_input.lower(x_s).compile()
+            xh_s = jax.eval_shape(half_input, x_s)
+            aot["backbone_half"] = backbone.lower(params["bb"], xh_s).compile()
+            feats_half_s = jax.eval_shape(backbone, params["bb"], xh_s)
+        # static (oh, ow) are baked into the compiled merge unit.
+        aot["merge"] = merge_decode_post.lower(
+            params, x_s, feats_s, feats_half_s, h, w).compile()
+        aot["shape"] = (b, h, w)
+
     def infer(frames_u8):
         b, h, w, _ = frames_u8.shape
         oh, ow = out_size if out_size is not None else (h, w)
+        if aot and aot["shape"] == (b, h, w):
+            x = aot["pre"](frames_u8)
+            feats = aot["backbone_full"](params["bb"], x)
+            feats_half = None
+            if cfg.mul_scl_ipt:
+                feats_half = aot["backbone_half"](
+                    params["bb"], aot["half_input"](x))
+            return aot["merge"](params, x, feats, feats_half)
         x = pre(frames_u8)
         feats = backbone(params["bb"], x)
         feats_half = backbone(params["bb"], half_input(x)) \
             if cfg.mul_scl_ipt else None
         return merge_decode_post(params, x, feats, feats_half, oh, ow)
 
-    if warmup_batch is not None:
-        # AOT-compile every unit by tracing the full pipeline with abstract
-        # values: jit caches the compiled executables, so the first real
-        # call dispatches immediately.
-        b = warmup_batch
-        h, w = out_size if out_size is not None else cfg.size
-        frames_s = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
-        x_s = jax.eval_shape(pre, frames_s)
-        pre.lower(frames_s).compile()
-        backbone.lower(params["bb"], x_s).compile()
-        feats_s = jax.eval_shape(backbone, params["bb"], x_s)
-        feats_half_s = None
-        if cfg.mul_scl_ipt:
-            half_input.lower(x_s).compile()
-            xh_s = jax.eval_shape(half_input, x_s)
-            backbone.lower(params["bb"], xh_s).compile()
-            feats_half_s = jax.eval_shape(backbone, params["bb"], xh_s)
-        merge_decode_post.lower(
-            params, x_s, feats_s, feats_half_s, h, w).compile()
-
+    # Exposed for tests (executable-reuse assertions) and serving
+    # introspection; the jit units double as the fallback path.
+    infer._units = {"pre": pre, "backbone": backbone,
+                    "half_input": half_input,
+                    "merge_decode_post": merge_decode_post}
+    infer._aot = aot
     return infer
