@@ -108,12 +108,19 @@ def aspp_deformable_forward(
     x5 = x5.astype(x.dtype)
     x5 = L.conv2d(params["global_avg_pool_conv"], x5)
     x5 = L.batch_norm_inference(params["global_avg_pool_bn"], x5)
-    x5 = L.relu(x5)
-    x5 = resize_nearest(x5, h, w)
-    branches.append(x5)
+    x5 = L.relu(x5)  # [B, 1, 1, 256]; nearest-upsample == broadcast
 
-    out = jnp.concatenate(branches, axis=-1)  # [B, H, W, 5*256]
-    out = L.conv2d(params["conv1"], out)  # no bias
+    # conv1 over the 5-branch concat WITHOUT materializing the [B,H,W,1280]
+    # tensor (measured HBM-bound at the 256^2 decoder_block1 site: the
+    # concat costs a full write+read pass): split-kernel partial sums in
+    # f32 (ops.layers.conv2d_concat), with the spatially-constant
+    # global-pool branch contributed at 1x1 and broadcast (a 1x1 conv
+    # commutes with the nearest upsample from 1x1;
+    # reference semantics: src/aspp.rs:313-331).
+    kernel = params["conv1"]["kernel"]  # no bias
+    c_sp = sum(bi.shape[-1] for bi in branches)
+    out = L.conv2d_concat({"kernel": kernel[:, :, :c_sp]}, branches)
+    out = out + L.conv2d({"kernel": kernel[:, :, c_sp:]}, x5)
     out = L.batch_norm_inference(params["bn1"], out)
     return L.relu(out)
 

@@ -23,6 +23,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: kernel-legality tier, needs the real TPU chip "
+        "(run with BIREFNET_TEST_TPU=1)")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

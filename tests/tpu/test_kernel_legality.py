@@ -1,0 +1,171 @@
+"""On-TPU Pallas kernel legality tier (round-2 verdict item 7).
+
+Every other Pallas test in this suite runs interpret mode on CPU, which does
+NOT enforce Mosaic's lowering rules (BlockSpec minor-dim tiling, missing op
+lowerings, VMEM limits — see ROADMAP.md "Measurement notes"). This tier
+COMPILES and EXECUTES every shipping kernel at every geometry the model
+uses, on the real chip.
+
+Run (one command, needs the TPU):
+
+    BIREFNET_TEST_TPU=1 python -m pytest tests/tpu -q
+
+or as a worker job via benchmarks/tpu_worker.py (drop a job file running
+pytest.main). Results are recorded in PARITY.md's accuracy-gate table.
+Collected-but-skipped on CPU runs of the main suite.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="legality tier needs the real TPU (run with BIREFNET_TEST_TPU=1)")
+
+# (label, padded H=W, C, heads) for every geometry the Swin-L model runs the
+# fused block-attention kernel at: 1024^2 full scale + 512^2 half scale
+# (the backbone runs at both; reference: src/birefnet.rs:423-426).
+BLOCK_GEOMETRIES = [
+    ("full-st0", 264, 192, 6),
+    ("full-st1", 132, 384, 12),
+    ("full-st2", 72, 768, 24),
+    ("full-st3", 36, 1536, 48),
+    ("half-st0", 132, 192, 6),
+    ("half-st1", 72, 384, 12),
+    ("half-st2", 36, 768, 24),
+    ("half-st3", 24, 1536, 48),
+]
+
+WS = 12
+N = WS * WS
+
+
+def _block_inputs(hp, c, heads, shift, dtype=jnp.bfloat16, seed=0):
+    from birefnet_tpu.ops import window as W
+    rng = np.random.default_rng(seed)
+    h_real = hp - 8  # window-grid overhang, as at the real sizes
+    x = jnp.asarray(rng.normal(size=(1, hp, hp, c)) * 0.1, dtype)
+    n1 = {"scale": jnp.ones((c,), jnp.float32),
+          "bias": jnp.zeros((c,), jnp.float32)}
+    ap = {"qkv": {"kernel": jnp.asarray(rng.normal(0, .05, size=(c, 3 * c)),
+                                        dtype),
+                  "bias": jnp.zeros((3 * c,), jnp.float32)},
+          "proj": {"kernel": jnp.asarray(rng.normal(0, .05, size=(c, c)),
+                                         dtype),
+                   "bias": jnp.zeros((c,), jnp.float32)},
+          "cached_bias": jnp.asarray(rng.normal(size=(heads, N, N)),
+                                     jnp.float32)}
+    mask = jnp.asarray(W.sw_msa_mask(hp, hp, WS, shift)) if shift else None
+    return x, n1, ap, mask, h_real
+
+
+def check_fused_block_attention(hp, c, heads, shift, interpret, label=""):
+    """Compile + execute the fused Swin-block attention kernel at one
+    geometry; compare against the unfused jnp path."""
+    from birefnet_tpu.ops.pallas import fused_block_attn
+    from birefnet_tpu.ops import window as W
+    from birefnet_tpu.ops import attention as attn_ops
+    from birefnet_tpu.ops import layers as L
+    x, n1, ap, mask, h_real = _block_inputs(hp, c, heads, shift)
+    out = fused_block_attn.fused_window_block_attention(
+        x, n1, ap, WS, shift, heads, mask, h_real, h_real,
+        interpret=interpret)
+    if shift:  # kernel I/O are in rolled coordinates (see its docstring)
+        out = W.roll_2d(out, shift, shift)
+    got = np.asarray(out[:, :h_real, :h_real], np.float32)
+    assert np.isfinite(got).all(), f"{label} produced non-finite values"
+
+    # reference: unfused path on the unrolled tensor
+    xu = W.roll_2d(x, shift, shift) if shift else x
+    h = L.layer_norm(n1, xu.astype(jnp.float32))
+    h = h.at[:, h_real:].set(0.0)
+    h = h.at[:, :, h_real:].set(0.0)
+    if shift:
+        h = W.roll_2d(h, -shift, -shift)
+    win = W.window_partition(h, WS)
+    qkv = L.linear({k: v.astype(jnp.float32) for k, v in ap["qkv"].items()},
+                   win)
+    b_, n, _ = qkv.shape
+    q5 = qkv.reshape(b_, n, 3, heads, c // heads).transpose(2, 0, 3, 1, 4)
+    ref = attn_ops.window_attention(
+        q5[0], q5[1], q5[2], ap["cached_bias"],
+        mask.astype(jnp.float32) if mask is not None else None)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b_, n, c)
+    ref = L.linear({k: v.astype(jnp.float32) for k, v in ap["proj"].items()},
+                   ref)
+    ref = W.window_reverse(ref, WS, hp, hp)
+    if shift:
+        ref = W.roll_2d(ref, shift, shift)
+    ref = np.asarray(ref[:, :h_real, :h_real], np.float32)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, f"{label} shift={shift}: rel diff {rel}"
+
+
+@requires_tpu
+@pytest.mark.parametrize("shift", [0, 6])
+@pytest.mark.parametrize("label,hp,c,heads", BLOCK_GEOMETRIES)
+def test_fused_block_attention_compiles(label, hp, c, heads, shift):
+    check_fused_block_attention(hp, c, heads, shift, interpret=False,
+                                label=label)
+
+
+@requires_tpu
+@pytest.mark.parametrize("h,c", [(256, 192), (128, 384), (64, 768),
+                                 (32, 1536), (128, 192), (64, 384),
+                                 (32, 768), (16, 1536)])
+def test_fused_mlp_compiles(h, c):
+    """Compile + execute the fused MLP kernel at every shipping token/C
+    geometry (full and half scale)."""
+    from birefnet_tpu.ops.pallas import fused_mlp
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, h, h, c)) * 0.1, jnp.bfloat16)
+    n2 = {"scale": jnp.ones((c,), jnp.float32),
+          "bias": jnp.zeros((c,), jnp.float32)}
+    mlp = {"fc1": {"kernel": jnp.asarray(
+                       rng.normal(0, .05, size=(c, 4 * c)), jnp.bfloat16),
+                   "bias": jnp.zeros((4 * c,), jnp.float32)},
+           "fc2": {"kernel": jnp.asarray(
+                       rng.normal(0, .05, size=(4 * c, c)), jnp.bfloat16),
+                   "bias": jnp.zeros((c,), jnp.float32)}}
+    out = fused_mlp.fused_mlp_residual(x, n2, mlp, interpret=False)
+    assert out is not None, f"no legal tile for ({h},{c})"
+    got = np.asarray(out, np.float32)
+    assert np.isfinite(got).all()
+    # reference: x + fc2(gelu_erf(fc1(LN(x))))
+    from birefnet_tpu.ops import layers as L
+    hn = L.layer_norm(n2, x.astype(jnp.float32))
+    hid = jax.nn.gelu(hn @ mlp["fc1"]["kernel"].astype(jnp.float32)
+                      + mlp["fc1"]["bias"], approximate=False)
+    ref = np.asarray(
+        x.astype(jnp.float32)
+        + hid @ mlp["fc2"]["kernel"].astype(jnp.float32)
+        + mlp["fc2"]["bias"], np.float32)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, f"({h},{c}): rel diff {rel}"
+
+
+@requires_tpu
+@pytest.mark.parametrize("b_,heads,masked", [(484, 6, True), (484, 6, False),
+                                             (121, 12, True), (36, 24, True),
+                                             (9, 48, False)])
+def test_flash_qkv_compiles(b_, heads, masked):
+    """Compile + execute the packed-qkv flash kernel (API-parity path) at
+    the real Swin window shapes, incl. the (484, 6, 144, 32) headline shape
+    (reference: examples/bench_flash_attn.rs)."""
+    from birefnet_tpu.ops.pallas import flash_window_attn
+    rng = np.random.default_rng(0)
+    c = heads * 32
+    qkv = jnp.asarray(rng.normal(size=(b_, N, 3 * c)) * 0.1, jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(heads, N, N)), jnp.bfloat16)
+    nw = 484 if b_ == 484 else b_
+    mask = (jnp.asarray(rng.integers(0, 2, size=(nw, N, N)) * -100.0,
+                        jnp.bfloat16) if masked else None)
+    out = flash_window_attn.flash_window_attention_qkv(
+        qkv, bias, mask, heads, interpret=False)
+    assert out.shape == (b_, N, c)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
