@@ -170,7 +170,11 @@ class ComputeConfig:
     dtype: jnp.dtype = jnp.float32
     # Use the fused Pallas flash window-attention kernel (N2) when available.
     use_flash_attention: bool = False
-    # Use the Pallas deformable-sampling kernel (N1) when available.
+    # RETIRED (round 3, accepted-but-ignored for CLI/API stability): the
+    # XLA formulations (deform_conv2d / deform_conv2d_local) are the
+    # designated N1 deformable kernels. A compile-safe chunked-tap Pallas
+    # kernel measured 0.38-0.82x the XLA sampler at every model site
+    # (ROADMAP.md "N1 retirement").
     use_pallas_deform: bool = False
     # Deformable-conv semantics:
     #   "deformable" — true modulated deformable sampling (the reference's

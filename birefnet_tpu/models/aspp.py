@@ -65,10 +65,13 @@ def deform_conv_aspp_forward(
             x, offset, mask, weight, bias=bias, padding=padding,
             radius=compute.deform_local_radius,
             tile=8 if kernel_size >= 7 else 16)
-    if compute.use_pallas_deform:
-        from ..ops.pallas import deform_im2col
-        return deform_im2col.deform_conv2d_pallas(
-            x, offset, mask, weight, bias=bias, stride=stride, padding=padding)
+    # N1 resolution (round 3): the XLA formulations ARE the designated
+    # deformable kernels. A chunked-tap Pallas kernel (sel built in VMEM,
+    # taps in 2D [cs*p, S] chunks) was built and measured 0.38-0.82x the
+    # XLA sampler at every site — the VPU selector-build floor exceeds the
+    # HBM traffic it saves; see ROADMAP.md "N1 retirement" for the numbers.
+    # `compute.use_pallas_deform` is accepted-but-ignored for CLI/API
+    # stability.
     return deform_conv2d(
         x, offset, mask, weight, bias=bias, stride=stride, padding=padding)
 

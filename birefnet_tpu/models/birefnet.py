@@ -58,6 +58,11 @@ def forward_logits(
     feats = swin_forward(params["bb"], swin_cfg, x, compute)
     x1, x2, x3, x4 = feats
 
+    # (Round-3 negative result: carrying these concats as parts lists —
+    # resizes/laterals distributed over the parts, conv2d_concat partial
+    # sums for the consumers — measured 14.54 vs 13.47 ms for the merge
+    # unit; the materialized concats win, XLA already amortizes them.
+    # See ROADMAP.md.)
     if cfg.mul_scl_ipt:
         # Half-scale second backbone pass (reference: src/birefnet.rs:423-443).
         x_half = resize_bilinear_align_corners(x, h // 2, w // 2)

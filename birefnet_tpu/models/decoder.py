@@ -23,8 +23,13 @@ def simple_convs_forward(params, x: jax.Array) -> jax.Array:
     return L.conv2d(params["conv_out"], x, padding=1)
 
 
-def basic_lat_blk_forward(params, x: jax.Array) -> jax.Array:
-    """1x1 conv lateral projection (reference: src/decoder.rs:70-74)."""
+def basic_lat_blk_forward(params, x) -> jax.Array:
+    """1x1 conv lateral projection (reference: src/decoder.rs:70-74).
+
+    `x` may be a parts list standing for its channel concat (split-kernel
+    partial sums, exact in f32 — see ops.layers.conv2d_concat)."""
+    if isinstance(x, (list, tuple)):
+        return L.conv2d_concat(params["conv"], list(x))
     return L.conv2d(params["conv"], x)
 
 
@@ -210,14 +215,17 @@ def decoder_forward(
 ) -> jax.Array:
     """Full decoder (reference: src/birefnet.rs:278-376).
 
-    Args are NHWC: x the input image, x1..x3 the (doubled) backbone features,
-    x4 the squeezed deep feature.
+    Args are NHWC: x the input image, x1..x3 the (doubled) backbone features
+    — each either a tensor or a parts list standing for its channel concat
+    (never materialized; laterals consume the parts via conv2d_concat) —
+    and x4 the squeezed deep feature.
     Returns [B, H, W, 1] logits.
     """
     b, h, w, _ = x.shape
-    h1, w1 = x1.shape[1:3]
-    h2, w2 = x2.shape[1:3]
-    h3, w3 = x3.shape[1:3]
+    first = lambda t: t[0] if isinstance(t, (list, tuple)) else t
+    h1, w1 = first(x1).shape[1:3]
+    h2, w2 = first(x2).shape[1:3]
+    h3, w3 = first(x3).shape[1:3]
 
     # Input patch pyramid (reference: src/birefnet.rs:304-320).
     ipt5 = simple_convs_forward(params["ipt_blk5"], image2patches(x, h // 32, w // 32))

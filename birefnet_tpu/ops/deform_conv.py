@@ -166,8 +166,10 @@ def deform_conv2d_local(
     Exact when all |offset| <= radius (torchvision-style zero padding
     outside the image included); documented deviation otherwise.
 
-    Design (the tiled one-hot MXU sampler designed in
-    ops/pallas/deform_im2col.py): XLA's gather floor on this platform is
+    Design (the designated N1 deformable kernel, together with
+    `deform_conv2d` for the unclamped exact mode — a Pallas route was
+    built and retired, see ROADMAP.md "N1 retirement"): XLA's gather
+    floor on this platform is
     ~0.1G rows/s, so sampling runs as matmuls instead. The output is tiled
     t x t; for each tile a FIXED source window (tile + tap extent + 2R+3
     halo) is cut with one contiguous dynamic_slice from a zero-padded input

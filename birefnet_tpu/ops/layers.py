@@ -97,7 +97,12 @@ def conv2d_concat(
 
 def layer_norm(params: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """LayerNorm over the last axis, statistics in float32
-    (reference uses eps=1e-5 everywhere, e.g. src/swin.rs:333)."""
+    (reference uses eps=1e-5 everywhere, e.g. src/swin.rs:333).
+
+    (Round-3 negative result: a one-pass E[x^2]-E[x]^2 variance for bf16
+    inputs did NOT remove the materialized f32 convert feeding this LN at
+    the stage outputs — the normalize itself still consumes the f32 copy —
+    and changed nothing measurable; see ROADMAP.md.)"""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)

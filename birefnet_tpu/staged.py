@@ -81,7 +81,9 @@ def make_staged_infer_fn(
                        donate_argnums=(1, 2, 3))
     def merge_decode_post(params, x, feats, feats_half, oh, ow):
         # mul_scl_ipt concat + cxt concat + squeeze + decoder + postprocess
-        # in one unit (reference: src/birefnet.rs:423-460).
+        # in one unit (reference: src/birefnet.rs:423-460). Materialized
+        # concats beat a parts-list formulation here (measured 13.47 vs
+        # 14.54 ms — ROADMAP.md round-3 negative results).
         x1, x2, x3, x4 = feats
         if cfg.mul_scl_ipt:
             ups = [resize_bilinear_align_corners(fh, f.shape[1], f.shape[2])

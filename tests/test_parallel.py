@@ -156,6 +156,28 @@ def test_hr_sharded_256_matches_dense(rng):
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1  # u8 boundary
 
 
+def test_hr_sharded_512_matches_dense(rng):
+    """Extends the 256^2 sharded-vs-dense equivalence toward the 2048^2 HR
+    config (round-2 verdict item 8): 512^2, 4-way-H spatial sharding, full
+    model with fused pre/post. At 512^2 every backbone stage has a
+    multi-window-row grid per shard, so the halo exchange crosses real
+    window boundaries on every stage."""
+    import dataclasses
+    from birefnet_tpu import pipeline
+    mesh = pmesh.make_mesh(8, spatial=4)
+    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(), size=(512, 512))
+    params = bt.init_params(cfg, seed=3)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(2, 512, 512, 3), dtype=np.uint8))
+
+    dense = pipeline.make_infer_fn(params, cfg)
+    sharded = pshard.make_sharded_infer_fn(mesh, params, cfg, spatial=True)
+    a = np.asarray(dense(frames))
+    b = np.asarray(sharded(frames))
+    assert a.shape == b.shape == (2, 512, 512)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1  # u8 boundary
+
+
 def test_hr_sharded_infer_matches_dense(mesh8, rng):
     """The HR serving path (batch+spatial sharded, fused pre/post) must match
     the dense pipeline."""
