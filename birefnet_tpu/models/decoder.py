@@ -203,6 +203,43 @@ def _composed_pair_conv(pa, pb, x: jax.Array) -> jax.Array:
         [left, out[:, :, 1:w - 1], right], axis=2)
 
 
+def input_pyramid(params, cfg: BiRefNetConfig, x: jax.Array,
+                  compute: ComputeConfig):
+    """The decoder's input-image pyramid: ipt_blk5..2 on image2patches
+    (reference: src/birefnet.rs:304-320) plus the folded full-resolution
+    ipt1-head logit (see decoder_forward's head notes).
+
+    Split out because it depends ONLY on the input image: the staged
+    pipeline computes it inside the `pre` unit, where the space-to-depth
+    slices fuse with preprocessing — computed in the merge unit instead,
+    the unit boundary costs a measured ~0.75 ms input-relayout copy
+    (ROADMAP round 3)."""
+    b, h, w, _ = x.shape
+    ipt = {
+        "ipt5": simple_convs_forward(params["ipt_blk5"],
+                                     image2patches(x, h // 32, w // 32)),
+        "ipt4": simple_convs_forward(params["ipt_blk4"],
+                                     image2patches(x, h // 16, w // 16)),
+        "ipt3": simple_convs_forward(params["ipt_blk3"],
+                                     image2patches(x, h // 8, w // 8)),
+        "ipt2": simple_convs_forward(params["ipt_blk2"],
+                                     image2patches(x, h // 4, w // 4)),
+    }
+    # ipt1 feeds ONLY the final head; its whole linear chain (conv 3->64,
+    # folded conv 64->1) is composed into one 5x5 conv, so nothing
+    # 64-channel ever runs at full resolution (fold derivation at the
+    # decoder_forward head).
+    ipt1p = params["ipt_blk1"]
+    k_head = params["conv_out1"]["kernel"][0, 0]  # [240, 1]
+    dec_out1_c = params["decoder_block1"]["conv_out"]["kernel"].shape[-1]
+    k_ipt1 = k_head[dec_out1_c:, :]               # [48, 1]
+    w_i1 = jnp.einsum("hwcd,do->hwco", ipt1p["conv_out"]["kernel"], k_ipt1)
+    b_i1 = (ipt1p["conv_out"]["bias"] @ k_ipt1)[..., 0]
+    ipt["logit_ipt1"] = _composed_pair_conv(
+        ipt1p["conv1"], {"kernel": w_i1, "bias": b_i1[None]}, x)
+    return ipt
+
+
 def decoder_forward(
     params,
     cfg: BiRefNetConfig,
@@ -212,29 +249,30 @@ def decoder_forward(
     x3: jax.Array,
     x4: jax.Array,
     compute: ComputeConfig,
+    pyramid=None,
 ) -> jax.Array:
     """Full decoder (reference: src/birefnet.rs:278-376).
 
     Args are NHWC: x the input image, x1..x3 the (doubled) backbone features
     — each either a tensor or a parts list standing for its channel concat
     (never materialized; laterals consume the parts via conv2d_concat) —
-    and x4 the squeezed deep feature.
+    and x4 the squeezed deep feature. `pyramid` optionally supplies the
+    precomputed `input_pyramid` (staged path); `x` may then be None.
     Returns [B, H, W, 1] logits.
     """
-    b, h, w, _ = x.shape
+    if pyramid is None:
+        pyramid = input_pyramid(params, cfg, x, compute)
+    h, w = pyramid["logit_ipt1"].shape[1:3]
     first = lambda t: t[0] if isinstance(t, (list, tuple)) else t
     h1, w1 = first(x1).shape[1:3]
     h2, w2 = first(x2).shape[1:3]
     h3, w3 = first(x3).shape[1:3]
 
     # Input patch pyramid (reference: src/birefnet.rs:304-320).
-    ipt5 = simple_convs_forward(params["ipt_blk5"], image2patches(x, h // 32, w // 32))
-    ipt4 = simple_convs_forward(params["ipt_blk4"], image2patches(x, h // 16, w // 16))
-    ipt3 = simple_convs_forward(params["ipt_blk3"], image2patches(x, h // 8, w // 8))
-    ipt2 = simple_convs_forward(params["ipt_blk2"], image2patches(x, h // 4, w // 4))
-    # ipt1 feeds ONLY the final head; its whole linear chain (conv 3->64,
-    # folded conv 64->1) is composed into one 5x5 conv below, so nothing
-    # 64-channel ever runs at full resolution.
+    ipt5 = pyramid["ipt5"]
+    ipt4 = pyramid["ipt4"]
+    ipt3 = pyramid["ipt3"]
+    ipt2 = pyramid["ipt2"]
 
     def gdt_gate(p, stage: str) -> jax.Array:
         """p * sigmoid(conv1x1(GdtConvs(p))) (reference: src/birefnet.rs:327-329)."""
@@ -280,15 +318,16 @@ def decoder_forward(
     # absorbable (1x1 convs have no spatial extent, so unlike 3x3-with-3x3
     # composition there is no border discrepancy):
     #   - p1 branch: head_p1 o bn_out o conv_out3x3 == one 3x3 conv 64->1
-    #   - ipt1 branch: head_ipt1 o conv_out3x3 == one 3x3 conv 64->1
+    #   - ipt1 branch: head_ipt1 o conv_out3x3 == one 3x3 conv 64->1,
+    #     then composed with the 3->64 input conv into one 5x5 (3->1) conv
+    #     with an exact border recompute (computed in `input_pyramid` as
+    #     pyramid["logit_ipt1"], already at full resolution)
     # and the 1x1 head commutes with the bilinear upsample, so only single
     # channels are convolved/upsampled at high resolution.
     blk1 = params["decoder_block1"]
-    ipt1p = params["ipt_blk1"]
     k_head = params["conv_out1"]["kernel"][0, 0]  # [240, 1]
     dec_out1_c = blk1["conv_out"]["kernel"].shape[-1]
     k_p1 = k_head[:dec_out1_c, :]                 # [192, 1]
-    k_ipt1 = k_head[dec_out1_c:, :]               # [48, 1]
 
     # p1 branch fold: W[3,3,64,1], b scalar.
     bn = blk1["bn_out"]
@@ -299,16 +338,8 @@ def decoder_forward(
     logit_p1 = L.conv2d({"kernel": w_p1, "bias": b_p1[None]}, p1_feat,
                         padding=1)
 
-    # ipt1 branch fold: W[3,3,64,1], b scalar (SimpleConvs has no BN);
-    # then compose with the 3->64 input conv into one 5x5 (3->1) conv
-    # with an exact border recompute (_composed_pair_conv).
-    w_i1 = jnp.einsum("hwcd,do->hwco", ipt1p["conv_out"]["kernel"], k_ipt1)
-    b_i1 = (ipt1p["conv_out"]["bias"] @ k_ipt1)[..., 0]
-    logit_ipt1 = _composed_pair_conv(
-        ipt1p["conv1"], {"kernel": w_i1, "bias": b_i1[None]}, x)
-
     logits = (resize_bilinear_align_corners(logit_p1, h, w)
-              + resize_bilinear_align_corners(logit_ipt1, h, w))
+              + pyramid["logit_ipt1"])
     if "bias" in params["conv_out1"]:
         logits = logits + params["conv_out1"]["bias"].astype(logits.dtype)
     return logits

@@ -107,9 +107,13 @@ def swin_block_forward(
         x = W.pad_to_multiple(x, window_size)
         if shift_size > 0:
             x = W.roll_2d(x, -shift_size, -shift_size)
+        # residual=True: the shortcut add rides inside the kernel (the
+        # pre-LN tokens are already in VMEM; a separate XLA add costs a
+        # full HBM pass per block). Exact: roll/crop commute with the add.
         x = fused_block_attn.fused_window_block_attention(
             x, params["norm1"], params["attn"], window_size, shift_size,
-            num_heads, attn_mask if shift_size > 0 else None, h, w)
+            num_heads, attn_mask if shift_size > 0 else None, h, w,
+            residual=True)
         if shift_size > 0:
             x = W.roll_2d(x, shift_size, shift_size)
         if x.shape[1] != h or x.shape[2] != w:
@@ -136,7 +140,8 @@ def swin_block_forward(
         if hp != h or wp != w:
             x = x[:, :h, :w, :]
 
-    x = shortcut + x
+    if not compute.use_flash_attention:
+        x = shortcut + x  # flash path: residual added inside the kernel
     if compute.use_flash_attention:
         # Token-local second half of the block fused into one kernel:
         # LN2 + fc1 + erf-GELU + fc2 + residual (the [T, 4C] hidden never

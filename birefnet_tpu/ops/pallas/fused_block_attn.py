@@ -49,7 +49,7 @@ _PACKED_G = {6: 2, 12: 4, 24: 4, 48: 8}
 
 def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             bias_ref, mask_ref, o_ref, *, heads, d, ws, bw, shift,
-            h_real, w_real, hp, wp, eps):
+            h_real, w_real, hp, wp, eps, residual):
     """Block = `bw` full window-ROWS: x_ref[0] is [bw*ws, Wp, C] (the full
     width keeps the BlockSpec minor dims TPU-legal). Windows are split and
     merged with in-VMEM transposes — VMEM-speed, vs the HBM relayouts of
@@ -176,6 +176,14 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     # --- window merge back to the row-strip layout ---
     y = y.reshape(bw, wc, ws, ws, c)
     y = jnp.transpose(y, (0, 2, 1, 3, 4)).reshape(bw * ws, wp, c)
+    if residual:
+        # Fold the Swin block's shortcut add (x + attn) into the kernel:
+        # the pre-LN tokens are already in VMEM, and the standalone XLA add
+        # costs a full read+read+write HBM pass per block (~2 ms/call over
+        # the 48 block instances at 1024^2 batch 2). Exact: roll/crop
+        # commute with the add, and pad-region contents are unspecified
+        # anyway (caller crops).
+        y = y + x_ref[0]
     o_ref[0] = y
 
 
@@ -189,9 +197,11 @@ _BW = 1
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ws", "shift", "h_real", "w_real", "heads", "interpret"))
+    static_argnames=("ws", "shift", "h_real", "w_real", "heads", "residual",
+                     "interpret"))
 def _fused(x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias, mask_grid,
-           ws, shift, h_real, w_real, heads, interpret=False):
+           ws, shift, h_real, w_real, heads, residual=False,
+           interpret=False):
     b, hp, wp, c = x.shape
     n = ws * ws
     d = c // heads
@@ -210,14 +220,15 @@ def _fused(x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias, mask_grid,
         args.append(mask_grid)
         kern = functools.partial(
             _kernel, heads=heads, d=d, ws=ws, bw=bw, shift=shift,
-            h_real=h_real, w_real=w_real, hp=hp, wp=wp, eps=1e-5)
+            h_real=h_real, w_real=w_real, hp=hp, wp=wp, eps=1e-5,
+            residual=residual)
     else:
         def kern(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                  bproj_ref, bias_ref, o_ref):
             _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                     bproj_ref, bias_ref, None, o_ref, heads=heads, d=d,
                     ws=ws, bw=bw, shift=shift, h_real=h_real, w_real=w_real,
-                    hp=hp, wp=wp, eps=1e-5)
+                    hp=hp, wp=wp, eps=1e-5, residual=residual)
 
     return pl.pallas_call(
         kern,
@@ -243,6 +254,7 @@ def fused_window_block_attention(
     attn_mask: Optional[jax.Array],
     h_real: int,
     w_real: int,
+    residual: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """LN1 + windowed attention + proj on a padded(+rolled) NHWC tensor.
@@ -258,8 +270,9 @@ def fused_window_block_attention(
         window order), or None.
       h_real/w_real: the unpadded spatial extent (pre-roll coordinates).
 
-    Returns [B, Hp, Wp, C] attention output (residual NOT added; pad
-    region contents are unspecified and must be cropped by the caller).
+    Returns [B, Hp, Wp, C] attention output; with residual=True the input
+    x is added in-kernel (the Swin block's shortcut). Pad region contents
+    are unspecified and must be cropped by the caller.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -283,4 +296,4 @@ def fused_window_block_attention(
         attn_params["proj"]["kernel"].astype(x.dtype),
         attn_params["proj"]["bias"],
         bias, mask_grid, ws, shift_size, h_real, w_real, num_heads,
-        interpret=interpret)
+        residual=residual, interpret=interpret)

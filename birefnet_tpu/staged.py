@@ -43,9 +43,10 @@ def make_staged_infer_fn(
     [B, H, W, 3] uint8 -> [B, out_h, out_w] mask.
 
     Buffer donation: the merge unit donates the intra-pipeline activations
-    it consumes last (x, feats, feats_half — all freshly produced per call),
-    so XLA reuses their HBM pages for outputs. User-supplied frames are NOT
-    donated (callers legitimately reuse the same input array across calls).
+    it consumes last (pyramid, feats, feats_half — all freshly produced per
+    call), so XLA reuses their HBM pages for outputs. User-supplied frames
+    are NOT donated (callers legitimately reuse the same input array across
+    calls).
 
     warmup_batch: if given, ALL units are AOT-compiled at construction for
     that batch size and the returned fn dispatches through the compiled
@@ -62,14 +63,20 @@ def make_staged_infer_fn(
     params = cast_matmul_weights(params, compute.dtype)
 
     @jax.jit
-    def pre(frames_u8):
-        return pipeline.preprocess(frames_u8, cfg.size, dtype=compute.dtype)
+    def pre(params_dec, frames_u8):
+        # Preprocess + the decoder's input-image pyramid in ONE unit: the
+        # pyramid depends only on the image, and computing it here lets its
+        # space-to-depth slices fuse with preprocessing (in the merge unit
+        # it cost a measured ~0.75 ms input-relayout copy; ROADMAP round 3).
+        x = pipeline.preprocess(frames_u8, cfg.size, dtype=compute.dtype)
+        pyramid = bdec.input_pyramid(params_dec, cfg, x, compute)
+        return x, pyramid
 
     @jax.jit
     def backbone(params_bb, x):
         # Compiled once per input shape (full and half scale). `x` is NOT
-        # donated: the merge unit consumes the full-scale x again (ipt_blk1
-        # runs on the raw image; reference: src/birefnet.rs:320).
+        # donated: the full-scale x is consumed again by half_input after
+        # the full-scale backbone call.
         return bswin.swin_forward(params_bb, swin_cfg, x, compute)
 
     @jax.jit
@@ -79,7 +86,7 @@ def make_staged_infer_fn(
 
     @functools.partial(jax.jit, static_argnums=(4, 5),
                        donate_argnums=(1, 2, 3))
-    def merge_decode_post(params, x, feats, feats_half, oh, ow):
+    def merge_decode_post(params, pyramid, feats, feats_half, oh, ow):
         # mul_scl_ipt concat + cxt concat + squeeze + decoder + postprocess
         # in one unit (reference: src/birefnet.rs:423-460). Materialized
         # concats beat a parts-list formulation here (measured 13.47 vs
@@ -101,7 +108,8 @@ def make_staged_infer_fn(
                  x4], axis=-1)
         x4 = bmodel.squeeze_module_forward(params["squeeze_module"], x4, compute)
         logits = bdec.decoder_forward(
-            params["decoder"], cfg, x, x1, x2, x3, x4, compute)
+            params["decoder"], cfg, None, x1, x2, x3, x4, compute,
+            pyramid=pyramid)
         mask = L.sigmoid(logits)
         return pipeline.postprocess(mask, oh, ow, as_uint8=as_uint8)
 
@@ -113,8 +121,8 @@ def make_staged_infer_fn(
         b = warmup_batch
         h, w = out_size if out_size is not None else cfg.size
         frames_s = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
-        x_s = jax.eval_shape(pre, frames_s)
-        aot["pre"] = pre.lower(frames_s).compile()
+        x_s, pyr_s = jax.eval_shape(pre, params["decoder"], frames_s)
+        aot["pre"] = pre.lower(params["decoder"], frames_s).compile()
         aot["backbone_full"] = backbone.lower(params["bb"], x_s).compile()
         feats_s = jax.eval_shape(backbone, params["bb"], x_s)
         feats_half_s = None
@@ -125,25 +133,25 @@ def make_staged_infer_fn(
             feats_half_s = jax.eval_shape(backbone, params["bb"], xh_s)
         # static (oh, ow) are baked into the compiled merge unit.
         aot["merge"] = merge_decode_post.lower(
-            params, x_s, feats_s, feats_half_s, h, w).compile()
+            params, pyr_s, feats_s, feats_half_s, h, w).compile()
         aot["shape"] = (b, h, w)
 
     def infer(frames_u8):
         b, h, w, _ = frames_u8.shape
         oh, ow = out_size if out_size is not None else (h, w)
         if aot and aot["shape"] == (b, h, w):
-            x = aot["pre"](frames_u8)
+            x, pyramid = aot["pre"](params["decoder"], frames_u8)
             feats = aot["backbone_full"](params["bb"], x)
             feats_half = None
             if cfg.mul_scl_ipt:
                 feats_half = aot["backbone_half"](
                     params["bb"], aot["half_input"](x))
-            return aot["merge"](params, x, feats, feats_half)
-        x = pre(frames_u8)
+            return aot["merge"](params, pyramid, feats, feats_half)
+        x, pyramid = pre(params["decoder"], frames_u8)
         feats = backbone(params["bb"], x)
         feats_half = backbone(params["bb"], half_input(x)) \
             if cfg.mul_scl_ipt else None
-        return merge_decode_post(params, x, feats, feats_half, oh, ow)
+        return merge_decode_post(params, pyramid, feats, feats_half, oh, ow)
 
     # Exposed for tests (executable-reuse assertions) and serving
     # introspection; the jit units double as the fallback path.
