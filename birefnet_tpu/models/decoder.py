@@ -123,9 +123,6 @@ def _composed_bulk_s2d(k_comp: jax.Array, b_comp, x: jax.Array) -> jax.Array:
     parts = [x[:, ph::4, :, :].reshape(b, hq, wq, 4 * c) for ph in range(4)]
     xs = jnp.concatenate(parts, axis=-1)  # [B, hq, wq, 16c], (ph, pw, c)
     xsp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    cols = jnp.concatenate(
-        [xsp[:, dy:dy + hq, dx:dx + wq, :]
-         for dy in range(3) for dx in range(3)], axis=-1)
 
     sel = np.zeros((5, 3, 4, 4), np.float32)  # [u/v, d, p, phase]
     for u in range(5):
@@ -134,11 +131,21 @@ def _composed_bulk_s2d(k_comp: jax.Array, b_comp, x: jax.Array) -> jax.Array:
             sel[u, r // 4, r % 4, a] = 1.0
     sel = jnp.asarray(sel)
     wm = jnp.einsum("uvco,udpa,vxqb->dxpqcabo", k_comp, sel, sel)
-    wm = wm.reshape(9 * 16 * c, 16 * co)
+    wm = wm.reshape(9, 16 * c, 16 * co).astype(x.dtype)
 
-    y = jnp.einsum("bhwi,io->bhwo", cols, wm.astype(x.dtype),
-                   precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
+    # 9 shifted partial dots (f32 accumulate) instead of materializing the
+    # [B, hq, wq, 9*16c] cols concat — the concat cost a measured write +
+    # re-read pass (~0.3 ms at 1024^2 batch 2) for a single matmul whose
+    # inputs are re-slices of xsp.
+    y = None
+    for dy in range(3):
+        for dx in range(3):
+            yk = jnp.einsum(
+                "bhwi,io->bhwo", xsp[:, dy:dy + hq, dx:dx + wq, :],
+                wm[dy * 3 + dx],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            y = yk if y is None else y + yk
     if b_comp is not None:
         y = y + jnp.tile(b_comp, 16).astype(jnp.float32)
     y = y.astype(x.dtype)

@@ -1,8 +1,8 @@
 """Staged compilation path: the full pipeline as a few smaller jit units.
 
 Numerically identical to pipeline.make_infer_fn's single fused program, but
-compiled as four units (full-scale backbone / half-scale backbone /
-merge+squeeze / decoder+postprocess). The monolithic 1024^2 program is a very
+compiled as three executables (pre+half-input+pyramid / backbone at two
+scales / merge+squeeze+decoder+postprocess). The monolithic 1024^2 program is a very
 large XLA compile; this environment's remote-compile service fails on it,
 and cold-start latency matters for serving anyway. The unit boundaries sit at
 natural HBM materialization points (backbone feature maps), so steady-state
@@ -64,25 +64,26 @@ def make_staged_infer_fn(
 
     @jax.jit
     def pre(params_dec, frames_u8):
-        # Preprocess + the decoder's input-image pyramid in ONE unit: the
-        # pyramid depends only on the image, and computing it here lets its
-        # space-to-depth slices fuse with preprocessing (in the merge unit
-        # it cost a measured ~0.75 ms input-relayout copy; ROADMAP round 3).
+        # Preprocess + the half-scale input + the decoder's input-image
+        # pyramid in ONE unit: they all depend only on the image; computing
+        # the pyramid here lets its space-to-depth slices fuse with
+        # preprocessing (in the merge unit it cost a measured ~0.75 ms
+        # input-relayout copy), and folding the half-scale resize removes a
+        # per-call dispatch (host dispatch overhead is visible in the
+        # pipelined serving protocol).
         x = pipeline.preprocess(frames_u8, cfg.size, dtype=compute.dtype)
+        x_half = None
+        if cfg.mul_scl_ipt:
+            b, h, w, _ = x.shape
+            x_half = resize_bilinear_align_corners(x, h // 2, w // 2)
         pyramid = bdec.input_pyramid(params_dec, cfg, x, compute)
-        return x, pyramid
+        return x, x_half, pyramid
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def backbone(params_bb, x):
-        # Compiled once per input shape (full and half scale). `x` is NOT
-        # donated: the full-scale x is consumed again by half_input after
-        # the full-scale backbone call.
+        # Compiled once per input shape (full and half scale); the backbone
+        # pass is each input's last consumer, so the activation is donated.
         return bswin.swin_forward(params_bb, swin_cfg, x, compute)
-
-    @jax.jit
-    def half_input(x):
-        b, h, w, _ = x.shape
-        return resize_bilinear_align_corners(x, h // 2, w // 2)
 
     @functools.partial(jax.jit, static_argnums=(4, 5),
                        donate_argnums=(1, 2, 3))
@@ -121,14 +122,12 @@ def make_staged_infer_fn(
         b = warmup_batch
         h, w = out_size if out_size is not None else cfg.size
         frames_s = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
-        x_s, pyr_s = jax.eval_shape(pre, params["decoder"], frames_s)
+        x_s, xh_s, pyr_s = jax.eval_shape(pre, params["decoder"], frames_s)
         aot["pre"] = pre.lower(params["decoder"], frames_s).compile()
         aot["backbone_full"] = backbone.lower(params["bb"], x_s).compile()
         feats_s = jax.eval_shape(backbone, params["bb"], x_s)
         feats_half_s = None
         if cfg.mul_scl_ipt:
-            aot["half_input"] = half_input.lower(x_s).compile()
-            xh_s = jax.eval_shape(half_input, x_s)
             aot["backbone_half"] = backbone.lower(params["bb"], xh_s).compile()
             feats_half_s = jax.eval_shape(backbone, params["bb"], xh_s)
         # static (oh, ow) are baked into the compiled merge unit.
@@ -140,23 +139,21 @@ def make_staged_infer_fn(
         b, h, w, _ = frames_u8.shape
         oh, ow = out_size if out_size is not None else (h, w)
         if aot and aot["shape"] == (b, h, w):
-            x, pyramid = aot["pre"](params["decoder"], frames_u8)
+            x, x_half, pyramid = aot["pre"](params["decoder"], frames_u8)
             feats = aot["backbone_full"](params["bb"], x)
             feats_half = None
             if cfg.mul_scl_ipt:
-                feats_half = aot["backbone_half"](
-                    params["bb"], aot["half_input"](x))
+                feats_half = aot["backbone_half"](params["bb"], x_half)
             return aot["merge"](params, pyramid, feats, feats_half)
-        x, pyramid = pre(params["decoder"], frames_u8)
+        x, x_half, pyramid = pre(params["decoder"], frames_u8)
         feats = backbone(params["bb"], x)
-        feats_half = backbone(params["bb"], half_input(x)) \
+        feats_half = backbone(params["bb"], x_half) \
             if cfg.mul_scl_ipt else None
         return merge_decode_post(params, pyramid, feats, feats_half, oh, ow)
 
     # Exposed for tests (executable-reuse assertions) and serving
     # introspection; the jit units double as the fallback path.
     infer._units = {"pre": pre, "backbone": backbone,
-                    "half_input": half_input,
                     "merge_decode_post": merge_decode_post}
     infer._aot = aot
     return infer
