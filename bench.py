@@ -11,7 +11,7 @@ program), mirroring the reference's bench_inference end-to-end shape
 (reference: examples/bench_inference.rs) but with device-side pre/post.
 
 Env overrides: BENCH_BATCH (default 2), BENCH_SIZE (default 1024),
-BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 10),
+BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 40),
 BENCH_FLASH / BENCH_PALLAS_DEFORM (default 1 on TPU).
 """
 
@@ -46,7 +46,7 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "2"))
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
 
     import jax
     _ensure_tpu_or_reexec()
@@ -112,7 +112,11 @@ def main() -> int:
     # a reliable fence through this environment's device tunnel, and bulk
     # mask readback runs at ~20 MB/s through it (a tunnel artifact that a
     # real TPU host does not have), so masks stay on device and the fence is
-    # a sum over all of them.
+    # a sum over all of them. Measured dispatch model (round 3): host
+    # enqueue (~3.3 ms/iter) fully OVERLAPS device execution; the scalar
+    # fence costs one ~28 ms tunnel round trip per measured run, so
+    # steady-state throughput needs enough in-flight iters to amortize it
+    # (n=10 -> 59.4 ms/iter vs n=40 -> 56.9 at 56.05 device-busy).
     fence = jax.jit(lambda outs: sum(jnp.sum(o.astype(jnp.uint32))
                                      for o in outs))
 
