@@ -60,14 +60,14 @@ def main():
         return int(fence(outs))
 
     t0 = time.time()
-    run(4)
+    run(16)
     print(f"[bench_hr] {label} size={size} batch={batch} mode={mode} "
           f"compile+warm {time.time() - t0:.1f}s", file=sys.stderr)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run(4)
-        ts.append((time.perf_counter() - t0) / 4)
+        run(16)
+        ts.append((time.perf_counter() - t0) / 16)
     t = sorted(ts)[1]
     print(f"HR {size} ({label}): {t * 1e3:.1f} ms/iter -> "
           f"{batch / t:.2f} img/s")

@@ -104,20 +104,44 @@ def swin_block_forward(
         # happens pre-LN here; the kernel zeroes pad tokens post-LN,
         # which is numerically identical to the unfused order.
         from ..ops.pallas import fused_block_attn
-        x = W.pad_to_multiple(x, window_size)
-        if shift_size > 0:
-            x = W.roll_2d(x, -shift_size, -shift_size)
-        # residual=True: the shortcut add rides inside the kernel (the
-        # pre-LN tokens are already in VMEM; a separate XLA add costs a
-        # full HBM pass per block). Exact: roll/crop commute with the add.
-        x = fused_block_attn.fused_window_block_attention(
-            x, params["norm1"], params["attn"], window_size, shift_size,
-            num_heads, attn_mask if shift_size > 0 else None, h, w,
-            residual=True)
-        if shift_size > 0:
-            x = W.roll_2d(x, shift_size, shift_size)
-        if x.shape[1] != h or x.shape[2] != w:
-            x = x[:, :h, :w, :]
+        p0 = window_size - shift_size
+        if (shift_size > 0 and (-h) % window_size >= p0
+                and (-w) % window_size >= p0):
+            # Roll-free shifted partition: when the window-pad slack
+            # covers ws - shift on both axes, pad top-left by p0 instead
+            # of cyclically rolling — the offset canvas equals the rolled
+            # one shifted by exactly one window, so windows/masks/pads
+            # carry over bit-exactly (see window.py::sw_msa_mask_offset)
+            # and the two full-map roll copies per shifted block vanish
+            # (~1 ms/call at 1024^2 batch 2 across the qualifying
+            # stages). Stages whose slack is too small (h mod ws >
+            # ws - shift) keep the cyclic roll below.
+            hp = h + (-h) % window_size
+            wp = w + (-w) % window_size
+            x = jnp.pad(x, ((0, 0), (p0, hp - h - p0), (p0, wp - w - p0),
+                            (0, 0)))
+            mask = jnp.asarray(
+                W.sw_msa_mask_offset(hp, wp, window_size, shift_size))
+            x = fused_block_attn.fused_window_block_attention(
+                x, params["norm1"], params["attn"], window_size, 0,
+                num_heads, mask, h, w, residual=True, origin=p0)
+            x = x[:, p0:p0 + h, p0:p0 + w, :]
+        else:
+            x = W.pad_to_multiple(x, window_size)
+            if shift_size > 0:
+                x = W.roll_2d(x, -shift_size, -shift_size)
+            # residual=True: the shortcut add rides inside the kernel (the
+            # pre-LN tokens are already in VMEM; a separate XLA add costs a
+            # full HBM pass per block). Exact: roll/crop commute with the
+            # add.
+            x = fused_block_attn.fused_window_block_attention(
+                x, params["norm1"], params["attn"], window_size, shift_size,
+                num_heads, attn_mask if shift_size > 0 else None, h, w,
+                residual=True)
+            if shift_size > 0:
+                x = W.roll_2d(x, shift_size, shift_size)
+            if x.shape[1] != h or x.shape[2] != w:
+                x = x[:, :h, :w, :]
     else:
         x = L.layer_norm(params["norm1"], x)
         x = W.pad_to_multiple(x, window_size)

@@ -48,7 +48,7 @@ _PACKED_G = {6: 2, 12: 4, 24: 4, 48: 8}
 
 
 def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-            bias_ref, mask_ref, o_ref, *, heads, d, ws, bw, shift,
+            bias_ref, mask_ref, o_ref, *, heads, d, ws, bw, shift, origin,
             h_real, w_real, hp, wp, eps, residual):
     """Block = `bw` full window-ROWS: x_ref[0] is [bw*ws, Wp, C] (the full
     width keeps the BlockSpec minor dims TPU-legal). Windows are split and
@@ -68,15 +68,20 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     h = h * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
 
     # --- Zero pad-tokens (the reference zero-pads AFTER norm1) ---
-    if hp != h_real or wp != w_real:
+    if hp != h_real or wp != w_real or origin:
         i = pl.program_id(1)
         tok = jax.lax.broadcasted_iota(jnp.int32, (bw * ws * wp, 1), 0)
-        gr = i * (bw * ws) + tok // wp   # padded(+rolled) row
-        gc = tok % wp                    # padded(+rolled) col
+        gr = i * (bw * ws) + tok // wp   # padded(+rolled/offset) row
+        gc = tok % wp                    # padded(+rolled/offset) col
         if shift:
             gr = jax.lax.rem(gr + shift, hp)
             gc = jax.lax.rem(gc + shift, wp)
-        h = jnp.where((gr >= h_real) | (gc >= w_real), 0.0, h)
+        # origin > 0 is the roll-free OFFSET partition (top-left zero pad
+        # of `origin` rows/cols, window.py::sw_msa_mask_offset): real
+        # tokens live at [origin, origin + real). origin == 0 reduces to
+        # the cyclic/unshifted bounds check.
+        h = jnp.where((gr < origin) | (gr >= origin + h_real)
+                      | (gc < origin) | (gc >= origin + w_real), 0.0, h)
     h = h.astype(tokens.dtype)
 
     # --- window split: [bw, ws, wc, ws, C] -> [bw, wc, ws, ws, C] ---
@@ -100,7 +105,11 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     # sums come from a tiny block-ones matmul; a single group-wide row max
     # keeps the softmax exact (any m >= rowmax is valid).
     scale = d ** -0.5
-    g = _PACKED_G.get(heads, 1)
+    # Packed head groups only for bf16: the f32 variant's unrolled group
+    # loop demands ~2x the scoped VMEM (measured: 121M > the 114M cap at
+    # the half-st3 geometry -> Mosaic stack OOM), and the per-head loop
+    # keeps the exactly-f32 softmax anyway (the parity config).
+    g = _PACKED_G.get(heads, 1) if tokens.dtype == jnp.bfloat16 else 1
     outs = []
     if g <= 1:
         for hh in range(heads):
@@ -197,10 +206,10 @@ _BW = 1
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ws", "shift", "h_real", "w_real", "heads", "residual",
-                     "interpret"))
+    static_argnames=("ws", "shift", "origin", "h_real", "w_real", "heads",
+                     "residual", "interpret"))
 def _fused(x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias, mask_grid,
-           ws, shift, h_real, w_real, heads, residual=False,
+           ws, shift, origin, h_real, w_real, heads, residual=False,
            interpret=False):
     b, hp, wp, c = x.shape
     n = ws * ws
@@ -220,15 +229,15 @@ def _fused(x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias, mask_grid,
         args.append(mask_grid)
         kern = functools.partial(
             _kernel, heads=heads, d=d, ws=ws, bw=bw, shift=shift,
-            h_real=h_real, w_real=w_real, hp=hp, wp=wp, eps=1e-5,
-            residual=residual)
+            origin=origin, h_real=h_real, w_real=w_real, hp=hp, wp=wp,
+            eps=1e-5, residual=residual)
     else:
         def kern(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                  bproj_ref, bias_ref, o_ref):
             _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                     bproj_ref, bias_ref, None, o_ref, heads=heads, d=d,
-                    ws=ws, bw=bw, shift=shift, h_real=h_real, w_real=w_real,
-                    hp=hp, wp=wp, eps=1e-5, residual=residual)
+                    ws=ws, bw=bw, shift=shift, origin=origin, h_real=h_real,
+                    w_real=w_real, hp=hp, wp=wp, eps=1e-5, residual=residual)
 
     return pl.pallas_call(
         kern,
@@ -256,19 +265,25 @@ def fused_window_block_attention(
     w_real: int,
     residual: bool = False,
     interpret: Optional[bool] = None,
+    origin: int = 0,
 ) -> jax.Array:
-    """LN1 + windowed attention + proj on a padded(+rolled) NHWC tensor.
+    """LN1 + windowed attention + proj on a padded(+rolled/offset) NHWC
+    tensor.
 
     Args:
       x: [B, Hp, Wp, C] — PRE-norm activations, already padded to window
-        multiples and (for shifted blocks) already cyclically rolled by
+        multiples and (for cyclic shifted blocks) already rolled by
         -shift_size. Pad positions may hold arbitrary values; the kernel
         zeroes them post-LN exactly like the unfused path.
       norm1_params: {"scale", "bias"}; attn_params: {"qkv", "proj",
         "cached_bias"} (see models/swin.py).
       attn_mask: [nW, N, N] SW-MSA mask for shifted blocks (row-major
-        window order), or None.
+        window order), or None. For the roll-free offset partition pass
+        window.sw_msa_mask_offset with shift_size=0 and origin=ws-shift.
       h_real/w_real: the unpadded spatial extent (pre-roll coordinates).
+      origin: top-left pad extent of the roll-free OFFSET shifted
+        partition (0 for unshifted / cyclic blocks); real tokens live at
+        [origin, origin + real) on both axes.
 
     Returns [B, Hp, Wp, C] attention output; with residual=True the input
     x is added in-kernel (the Swin block's shortcut). Pad region contents
@@ -295,5 +310,5 @@ def fused_window_block_attention(
         attn_params["qkv"]["bias"],
         attn_params["proj"]["kernel"].astype(x.dtype),
         attn_params["proj"]["bias"],
-        bias, mask_grid, ws, shift_size, h_real, w_real, num_heads,
+        bias, mask_grid, ws, shift_size, origin, h_real, w_real, num_heads,
         residual=residual, interpret=interpret)

@@ -95,6 +95,33 @@ def sw_msa_mask(hp: int, wp: int, window_size: int, shift_size: int) -> np.ndarr
     return np.where(diff != 0, np.float32(-100.0), np.float32(0.0))
 
 
+@functools.lru_cache(maxsize=None)
+def sw_msa_mask_offset(hp: int, wp: int, window_size: int,
+                       shift_size: int) -> np.ndarray:
+    """SW-MSA mask for the roll-free OFFSET window partition.
+
+    TPU-native roll elimination: instead of cyclically rolling the feature
+    map by -shift (two full-map HBM copies per shifted block, the XLA
+    lowering of the reference's roll_2d, reference: src/swin.rs:412-444),
+    the shifted partition is realized by zero-padding (window_size -
+    shift_size) rows/cols at the TOP-LEFT, so window boundaries land at
+    original coordinates {shift + j*ws} directly. Because top pad + shift
+    = ws, the offset canvas equals the rolled canvas cyclically shifted by
+    exactly ONE window: offset window (i, j) holds precisely the tokens of
+    cyclic window (i-1, j-1) (mod grid), in the same in-window order, with
+    identical zero pads. The mask is therefore the cyclic mask with the
+    window grid rolled by one — bit-exact attention results, no data
+    movement. Applicable when the window-pad slack >= ws - shift on both
+    axes (the caller falls back to the cyclic roll otherwise).
+    """
+    ws = window_size
+    n = ws * ws
+    m = sw_msa_mask(hp, wp, ws, shift_size)
+    g = m.reshape(hp // ws, wp // ws, n, n)
+    g = np.roll(g, (1, 1), axis=(0, 1))
+    return np.ascontiguousarray(g.reshape(-1, n, n))
+
+
 def pad_to_multiple(x: jax.Array, multiple: int) -> jax.Array:
     """Zero-pad H and W (bottom/right) of NHWC input up to a multiple
     (reference: src/swin.rs:359-366)."""

@@ -142,7 +142,10 @@ def _block_params(rng, c, heads):
 
 
 @pytest.mark.parametrize("shift", [0, 6])
-@pytest.mark.parametrize("hw", [(24, 24), (20, 17)])  # exact grid + padded
+# exact grid + padded(cyclic-roll slack) + padded(offset/roll-free slack):
+# (16, 16) has pad slack 8 >= ws - shift, so shift=6 exercises the
+# roll-free offset partition against the unfused cyclic path.
+@pytest.mark.parametrize("hw", [(24, 24), (20, 17), (16, 16)])
 # heads=2 exercises the per-head loop, heads=6 the packed-group core
 @pytest.mark.parametrize("heads,c", [(2, 64), (6, 192)])
 def test_fused_nhwc_block_matches_unfused(rng, shift, hw, heads, c):

@@ -114,6 +114,70 @@ def test_fused_block_attention_compiles(label, hp, c, heads, shift):
                                 label=label)
 
 
+# Geometries whose pad slack (8) covers ws - shift (6): the model runs
+# these shifted blocks through the roll-free OFFSET partition
+# (window.py::sw_msa_mask_offset, models/swin.py flash path).
+OFFSET_GEOMETRIES = [
+    ("full-st0", 264, 192, 6),
+    ("full-st2", 72, 768, 24),
+    ("half-st1", 72, 384, 12),
+    ("half-st3", 24, 1536, 48),
+]
+
+
+def check_offset_block_attention(hp, c, heads, interpret, label=""):
+    """Compile + execute the fused kernel in roll-free offset mode
+    (origin=ws-shift, shift=0, rolled-grid mask); reference = the unfused
+    cyclic-roll path."""
+    from birefnet_tpu.ops.pallas import fused_block_attn
+    from birefnet_tpu.ops import window as W
+    from birefnet_tpu.ops import attention as attn_ops
+    from birefnet_tpu.ops import layers as L
+    shift = WS // 2
+    p0 = WS - shift
+    _, n1, ap, _, h_real = _block_inputs(hp, c, heads, shift)
+    rng = np.random.default_rng(1)
+    x_real = jnp.asarray(rng.normal(size=(1, h_real, h_real, c)) * 0.1,
+                         jnp.bfloat16)
+    x_off = jnp.pad(x_real, ((0, 0), (p0, hp - h_real - p0),
+                             (p0, hp - h_real - p0), (0, 0)))
+    mask_off = jnp.asarray(W.sw_msa_mask_offset(hp, hp, WS, shift))
+    out = fused_block_attn.fused_window_block_attention(
+        x_off, n1, ap, WS, 0, heads, mask_off, h_real, h_real,
+        interpret=interpret, origin=p0)
+    got = np.asarray(out[:, p0:p0 + h_real, p0:p0 + h_real], np.float32)
+    assert np.isfinite(got).all(), f"{label} offset produced non-finite"
+
+    # cyclic-roll reference, unfused
+    xp = W.pad_to_multiple(x_real, WS)
+    h = L.layer_norm(n1, xp.astype(jnp.float32))
+    h = h.at[:, h_real:].set(0.0)
+    h = h.at[:, :, h_real:].set(0.0)
+    h = W.roll_2d(h, -shift, -shift)
+    win = W.window_partition(h, WS)
+    qkv = L.linear({k: v.astype(jnp.float32) for k, v in ap["qkv"].items()},
+                   win)
+    b_, n, _ = qkv.shape
+    q5 = qkv.reshape(b_, n, 3, heads, c // heads).transpose(2, 0, 3, 1, 4)
+    mask_cyc = jnp.asarray(W.sw_msa_mask(hp, hp, WS, shift))
+    ref = attn_ops.window_attention(q5[0], q5[1], q5[2], ap["cached_bias"],
+                                    mask_cyc)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b_, n, c)
+    ref = L.linear({k: v.astype(jnp.float32) for k, v in ap["proj"].items()},
+                   ref)
+    ref = W.window_reverse(ref, WS, hp, hp)
+    ref = W.roll_2d(ref, shift, shift)
+    ref = np.asarray(ref[:, :h_real, :h_real], np.float32)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, f"{label} offset: rel diff {rel}"
+
+
+@requires_tpu
+@pytest.mark.parametrize("label,hp,c,heads", OFFSET_GEOMETRIES)
+def test_offset_block_attention_compiles(label, hp, c, heads):
+    check_offset_block_attention(hp, c, heads, interpret=False, label=label)
+
+
 @requires_tpu
 @pytest.mark.parametrize("h,c", [(256, 192), (128, 384), (64, 768),
                                  (32, 1536), (128, 192), (64, 384),
