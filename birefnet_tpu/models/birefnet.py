@@ -91,7 +91,11 @@ def forward_logits(
         )
 
     x4 = squeeze_module_forward(params["squeeze_module"], x4, compute)
-    return decoder_forward(params["decoder"], cfg, x, x1, x2, x3, x4, compute)
+    # decoder_forward's logits are channel-less [B, H, W] (full-lane layout
+    # for the high-res tail); this public surface restores the reference's
+    # [B, H, W, 1] channel axis.
+    return decoder_forward(
+        params["decoder"], cfg, x, x1, x2, x3, x4, compute)[..., None]
 
 
 def forward(

@@ -243,7 +243,7 @@ def input_pyramid(params, cfg: BiRefNetConfig, x: jax.Array,
     w_i1 = jnp.einsum("hwcd,do->hwco", ipt1p["conv_out"]["kernel"], k_ipt1)
     b_i1 = (ipt1p["conv_out"]["bias"] @ k_ipt1)[..., 0]
     ipt["logit_ipt1"] = _composed_pair_conv(
-        ipt1p["conv1"], {"kernel": w_i1, "bias": b_i1[None]}, x)
+        ipt1p["conv1"], {"kernel": w_i1, "bias": b_i1[None]}, x)[..., 0]
     return ipt
 
 
@@ -265,7 +265,8 @@ def decoder_forward(
     (never materialized; laterals consume the parts via conv2d_concat) —
     and x4 the squeezed deep feature. `pyramid` optionally supplies the
     precomputed `input_pyramid` (staged path); `x` may then be None.
-    Returns [B, H, W, 1] logits.
+    Returns [B, H, W] logits (channel-less; see the head note below —
+    the reference's [B, 1, H, W] surface lives in models/birefnet.py).
     """
     if pyramid is None:
         pyramid = input_pyramid(params, cfg, x, compute)
@@ -345,7 +346,13 @@ def decoder_forward(
     logit_p1 = L.conv2d({"kernel": w_p1, "bias": b_p1[None]}, p1_feat,
                         padding=1)
 
-    logits = (resize_bilinear_align_corners(logit_p1, h, w)
+    # The full-resolution tail runs CHANNEL-LESS ([B, H, W]): a [B,H,W,1]
+    # tensor fills 1/128 of every lane tile and its W-resize is an N=1
+    # matmul; dropping the singleton axis before the upsample makes both
+    # resize contractions full-lane (measured: the head reshape alone was
+    # 0.30 ms/call at batch 2). Callers needing the reference's [B,H,W,1]
+    # logits surface re-add the axis (models/birefnet.py forward_logits).
+    logits = (resize_bilinear_align_corners(logit_p1[..., 0], h, w)
               + pyramid["logit_ipt1"])
     if "bias" in params["conv_out1"]:
         logits = logits + params["conv_out1"]["bias"].astype(logits.dtype)

@@ -43,6 +43,19 @@ def mlp_forward(params, x: jax.Array) -> jax.Array:
     return L.linear(params["fc2"], x)
 
 
+def _ln(params, x: jax.Array, compute: ComputeConfig) -> jax.Array:
+    """LayerNorm for the standalone (non-kernel-fused) sites.
+
+    On the Pallas path the XLA lowering materializes the f32 upcast of the
+    whole activation in HBM (measured ~0.2 ms/call at the stage-0 output,
+    batch 2); the row-LN kernel streams bf16 tiles instead. Same f32-stats
+    contract either way (ops/pallas/row_ln.py)."""
+    if compute.use_flash_attention:
+        from ..ops.pallas import row_ln
+        return row_ln.layer_norm_rows(params, x)
+    return L.layer_norm(params, x)
+
+
 def window_attention_forward(
     params,
     x: jax.Array,
@@ -179,7 +192,10 @@ def swin_block_forward(
     return x
 
 
-def patch_merging_forward(params, x: jax.Array) -> jax.Array:
+def patch_merging_forward(
+    params, x: jax.Array,
+    compute: ComputeConfig = ComputeConfig(),
+) -> jax.Array:
     """2x downsample on NHWC input (reference: src/swin.rs:491-527)."""
     b, h, w, c = x.shape
     if h % 2 == 1 or w % 2 == 1:
@@ -191,7 +207,7 @@ def patch_merging_forward(params, x: jax.Array) -> jax.Array:
     x2 = x[:, :, 0, :, 1, :]  # even rows, odd cols
     x3 = x[:, :, 1, :, 1, :]  # odd rows, odd cols
     x = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # [B, H/2, W/2, 4C]
-    x = L.layer_norm(params["norm"], x)
+    x = _ln(params["norm"], x, compute)
     return L.linear(params["reduction"], x)  # no bias
 
 
@@ -247,13 +263,16 @@ def basic_layer_forward(
 
     x_out = x
     if downsample:
-        x_down = patch_merging_forward(params["downsample"], x)
+        x_down = patch_merging_forward(params["downsample"], x, compute)
     else:
         x_down = x
     return x_out, x_down
 
 
-def patch_embed_forward(params, x: jax.Array, patch_size: int) -> jax.Array:
+def patch_embed_forward(
+    params, x: jax.Array, patch_size: int,
+    compute: ComputeConfig = ComputeConfig(),
+) -> jax.Array:
     """Patchify NHWC input: pad -> conv k=s=patch -> LN
     (reference: src/swin.rs:692-714).
 
@@ -284,7 +303,7 @@ def patch_embed_forward(params, x: jax.Array, patch_size: int) -> jax.Array:
         y = part if y is None else y + part
     y = (y + params["proj"]["bias"].astype(jnp.float32)).astype(x.dtype)
     if "norm" in params:
-        y = L.layer_norm(params["norm"], y)
+        y = _ln(params["norm"], y, compute)
     return y
 
 
@@ -299,7 +318,7 @@ def swin_forward(
     Returns the 4 multi-scale NHWC features [B, H/4^..., C_i] with per-stage
     LayerNorm applied (reference: src/swin.rs:768-797).
     """
-    x = patch_embed_forward(params["patch_embed"], x, cfg.patch_size)
+    x = patch_embed_forward(params["patch_embed"], x, cfg.patch_size, compute)
 
     outs: List[jax.Array] = []
     for i, depth in enumerate(cfg.depths):
@@ -307,6 +326,6 @@ def swin_forward(
         x_out, x = basic_layer_forward(
             params[f"layers_{i}"], x, depth, cfg.num_heads[i],
             cfg.window_size, compute, downsample=not is_last)
-        out = L.layer_norm(params[f"norm_{i}"], x_out)
+        out = _ln(params[f"norm_{i}"], x_out, compute)
         outs.append(out)
     return outs

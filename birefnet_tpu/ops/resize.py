@@ -46,6 +46,59 @@ def _align_corners_matrix(src: int, dst: int) -> np.ndarray:
     return m
 
 
+def _apply_separable(x: jax.Array, out_h: int, out_w: int,
+                     matrix_fn) -> jax.Array:
+    """Apply a separable [dst, src] row/col filter pair on NHWC (4D) or
+    channel-less NHW (3D) input.
+
+    Contraction ORDER is chosen to minimize data movement: on TPU the
+    W-contraction (``ow,bhwc->bhoc``) reads x in its natural NHWC layout
+    (w sublanes x c lanes tiles feed the MXU directly), while the
+    H-contraction needs an h-minor relayout copy of its operand (measured:
+    a 0.16 ms copy of the 25 MB x1 feature for the cxt 256->32 downscale,
+    batch 2). So the H-contraction runs on whichever side of the W resize
+    is smaller: W first when downscaling W, H first when upscaling W.
+    Numerics: each contraction accumulates in f32 and rounds once to the
+    storage dtype — identical error structure in either order.
+
+    The 3D form exists for the single-channel logit/mask path: a
+    [B, H, W, 1] tensor occupies 1/128 of every lane tile and its W-resize
+    is an N=1 matmul; as [B, H, W] the same data rides full W-lane tiles
+    (measured on the decoder head at 1024^2 — see decoder_forward).
+    """
+    if x.ndim == 3:
+        b, h, w = x.shape
+        eq_h, eq_w = "oh,bhw->bow", "ow,bhw->bho"
+    else:
+        b, h, w, _ = x.shape
+        eq_h, eq_w = "oh,bhwc->bowc", "ow,bhwc->bhoc"
+    orig_dtype = x.dtype
+
+    def along_h(x):
+        mh = jnp.asarray(matrix_fn(h, out_h), dtype=orig_dtype)
+        return jnp.einsum(eq_h, mh, x,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32).astype(orig_dtype)
+
+    def along_w(x):
+        mw = jnp.asarray(matrix_fn(w, out_w), dtype=orig_dtype)
+        return jnp.einsum(eq_w, mw, x,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32).astype(orig_dtype)
+
+    if out_w < w:
+        if w != out_w:
+            x = along_w(x)
+        if h != out_h:
+            x = along_h(x)
+    else:
+        if h != out_h:
+            x = along_h(x)
+        if w != out_w:
+            x = along_w(x)
+    return x
+
+
 def resize_bilinear_align_corners(
     x: jax.Array, out_h: int, out_w: int
 ) -> jax.Array:
@@ -55,21 +108,10 @@ def resize_bilinear_align_corners(
     and the candle fork's ``upsample_bilinear2d(h, w, true)``
     (reference: src/birefnet.rs:332 and 7 sibling call sites).
     """
-    b, h, w, c = x.shape
+    h, w = x.shape[1:3]
     if (h, w) == (out_h, out_w):
         return x
-    orig_dtype = x.dtype
-    if h != out_h:
-        mh = jnp.asarray(_align_corners_matrix(h, out_h), dtype=orig_dtype)
-        x = jnp.einsum("oh,bhwc->bowc", mh, x,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32).astype(orig_dtype)
-    if w != out_w:
-        mw = jnp.asarray(_align_corners_matrix(w, out_w), dtype=orig_dtype)
-        x = jnp.einsum("ow,bhwc->bhoc", mw, x,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32).astype(orig_dtype)
-    return x
+    return _apply_separable(x, out_h, out_w, _align_corners_matrix)
 
 
 def resize_nearest(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
@@ -124,21 +166,10 @@ def _lanczos3_matrix(src: int, dst: int) -> np.ndarray:
 
 def resize_lanczos3(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Separable Lanczos-3 resize on NHWC input (two dense matmuls)."""
-    b, h, w, c = x.shape
+    h, w = x.shape[1:3]
     if (h, w) == (out_h, out_w):
         return x
-    orig_dtype = x.dtype
-    if h != out_h:
-        mh = jnp.asarray(_lanczos3_matrix(h, out_h), dtype=orig_dtype)
-        x = jnp.einsum("oh,bhwc->bowc", mh, x,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32).astype(orig_dtype)
-    if w != out_w:
-        mw = jnp.asarray(_lanczos3_matrix(w, out_w), dtype=orig_dtype)
-        x = jnp.einsum("ow,bhwc->bhoc", mw, x,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32).astype(orig_dtype)
-    return x
+    return _apply_separable(x, out_h, out_w, _lanczos3_matrix)
 
 
 def resize_bilinear_half_pixel(
@@ -151,10 +182,9 @@ def resize_bilinear_half_pixel(
     which is an antialiased bilinear with half-pixel centers. On TPU we express
     it as two separable dense matmuls computed at trace time.
     """
-    b, h, w, c = x.shape
+    h, w = x.shape[1:3]
     if (h, w) == (out_h, out_w):
         return x
-    orig_dtype = x.dtype
 
     @functools.lru_cache(maxsize=None)
     def tri_matrix(src: int, dst: int) -> np.ndarray:
@@ -172,14 +202,4 @@ def resize_bilinear_half_pixel(
                 m[i, int(np.clip(round(center), 0, src - 1))] = 1.0
         return m.astype(np.float32)
 
-    if h != out_h:
-        mh = jnp.asarray(tri_matrix(h, out_h), dtype=orig_dtype)
-        x = jnp.einsum("oh,bhwc->bowc", mh, x,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32).astype(orig_dtype)
-    if w != out_w:
-        mw = jnp.asarray(tri_matrix(w, out_w), dtype=orig_dtype)
-        x = jnp.einsum("ow,bhwc->bhoc", mw, x,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32).astype(orig_dtype)
-    return x
+    return _apply_separable(x, out_h, out_w, tri_matrix)

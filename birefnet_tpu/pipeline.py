@@ -54,12 +54,16 @@ def postprocess(
     out_w: int,
     as_uint8: bool = True,
 ) -> jax.Array:
-    """[B, h, w, 1] sigmoid mask -> [B, out_h, out_w] resized mask.
+    """[B, h, w, 1] (or channel-less [B, h, w]) sigmoid mask ->
+    [B, out_h, out_w] resized mask.
 
     Lanczos3 resize back to the original frame size, then u8 quantization
-    (reference: examples/infer_image.rs:96-108), on device.
+    (reference: examples/infer_image.rs:96-108), on device. The channel-less
+    form is the fast path (full-lane resize matmuls; see decoder head).
     """
-    m = resize_lanczos3(mask.astype(jnp.float32), out_h, out_w)[..., 0]
+    if mask.ndim == 4:
+        mask = mask[..., 0]
+    m = resize_lanczos3(mask.astype(jnp.float32), out_h, out_w)
     if as_uint8:
         m = jnp.clip(jnp.round(m * 255.0), 0.0, 255.0).astype(jnp.uint8)
     return m
