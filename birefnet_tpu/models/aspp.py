@@ -115,8 +115,9 @@ def aspp_deformable_forward(
 
     # conv1 over the 5-branch concat WITHOUT materializing the [B,H,W,1280]
     # tensor (measured HBM-bound at the 256^2 decoder_block1 site: the
-    # concat costs a full write+read pass): split-kernel partial sums in
-    # f32 (ops.layers.conv2d_concat), with the spatially-constant
+    # concat costs a full write+read pass): split-kernel partial sums
+    # stored in the activation dtype (ops.layers.conv2d_concat), with the
+    # spatially-constant
     # global-pool branch contributed at 1x1 and broadcast (a 1x1 conv
     # commutes with the nearest upsample from 1x1;
     # reference semantics: src/aspp.rs:313-331).

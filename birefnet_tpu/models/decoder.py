@@ -158,6 +158,8 @@ def _composed_bulk_s2d(k_comp: jax.Array, b_comp, x: jax.Array) -> jax.Array:
 def _composed_pair_conv(pa, pb, x: jax.Array) -> jax.Array:
     """conv3x3_B(conv3x3_A(x)) with no nonlinearity between, as ONE
     composed 5x5 conv on the interior plus an exact 1-px border recompute.
+    Returns CHANNEL-LESS [B, H, W] logits (the only call site is the
+    single-channel folded ipt1 head; see the decoder head note).
 
     The composition is exact everywhere EXCEPT the outermost output ring:
     there the pipeline's crop-then-zero-pad of the intermediate differs
@@ -171,6 +173,7 @@ def _composed_pair_conv(pa, pb, x: jax.Array) -> jax.Array:
     wb, bb = pb["kernel"], pb.get("bias")
     kh, kw, ci, mid = wa.shape
     _, _, _, co = wb.shape
+    assert co == 1, "composed head is single-channel"
 
     # Composed kernel K[u1+u2, v1+v2, i, o] = sum_m A[u1,v1,i,m] B[u2,v2,m,o]
     k_comp = jnp.zeros((kh + 2, kw + 2, ci, co), wa.dtype)
@@ -183,22 +186,31 @@ def _composed_pair_conv(pa, pb, x: jax.Array) -> jax.Array:
         b_comp = bb if b_comp is None else b_comp + bb
 
     h, w = x.shape[1:3]
-    if ci <= 8 and kh == kw == 3 and h % 4 == 0 and w % 4 == 0:
+    if x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        # Direct Pallas tap conv with W in lanes: 75 scalar-x-vector FMAs,
+        # no s2d phases and no 16-phase de-interleave (the de-interleave
+        # lane shuffle alone measured 0.50 ms/call at 1024^2 batch 2,
+        # job_103). bf16/TPU path only: the f32 oracle-parity path keeps
+        # the s2d-matmul rounding it was pinned with.
+        from ..ops.pallas.tap_conv import tap_conv_same
+        out = tap_conv_same(x, k_comp, b_comp)
+    elif ci <= 8 and kh == kw == 3 and h % 4 == 0 and w % 4 == 0:
         # Bulk 5x5 on the 4x space-to-depth form: the conv unit runs
         # 3->1-channel convs at ~0.3 TF/s and demands a pathological
         # T(2,128) layout (measured 1.37 ms + a 0.76 ms input copy at
         # 1024^2 batch 2); the s2d route (strided row slices -> one
         # [*, 9*16c] x [9*16c, 16co] matmul over 16 output phases)
         # measured 0.77 ms and takes the image as produced.
-        out = _composed_bulk_s2d(k_comp, b_comp, x)
+        out = _composed_bulk_s2d(k_comp, b_comp, x)[..., 0]
     else:
         comp = {"kernel": k_comp}
         if b_comp is not None:
             comp["bias"] = b_comp
-        out = L.conv2d(comp, x, padding=2)
+        out = L.conv2d(comp, x, padding=2)[..., 0]
 
     def pair(strip):
-        return L.conv2d(pb, L.conv2d(pa, strip, padding=1), padding=1)
+        return L.conv2d(pb, L.conv2d(pa, strip, padding=1),
+                        padding=1)[..., 0]
 
     h, w = x.shape[1:3]
     top = pair(x[:, 0:3])[:, 0:1]
@@ -243,7 +255,7 @@ def input_pyramid(params, cfg: BiRefNetConfig, x: jax.Array,
     w_i1 = jnp.einsum("hwcd,do->hwco", ipt1p["conv_out"]["kernel"], k_ipt1)
     b_i1 = (ipt1p["conv_out"]["bias"] @ k_ipt1)[..., 0]
     ipt["logit_ipt1"] = _composed_pair_conv(
-        ipt1p["conv1"], {"kernel": w_i1, "bias": b_i1[None]}, x)[..., 0]
+        ipt1p["conv1"], {"kernel": w_i1, "bias": b_i1[None]}, x)
     return ipt
 
 

@@ -71,7 +71,14 @@ def conv2d_concat(
     concat: conv(concat(a, b)) == conv_a(a) + conv_b(b) with the kernel split
     along its input-channel axis. Saves a full read+write pass over the
     concatenated activation (the decoder's big tensors are exactly these
-    concats; reference: src/birefnet.rs:323,338,353,368,374)."""
+    concats; reference: src/birefnet.rs:323,338,353,368,374).
+
+    Each part accumulates on the MXU in f32 but is STORED between parts in
+    the activation dtype: conv outputs cannot stay in registers across
+    fusions, and the f32 intermediates were measured at ~0.44 ms/call of
+    extra HBM traffic at the dec1 ASPP site (batch 2). Under f32 inputs the
+    cast is the identity (the oracle-parity path is bit-unchanged); under
+    bf16 the partial sums round like every other bf16 activation."""
     kernel = params["kernel"]
     out = None
     off = 0
@@ -86,10 +93,11 @@ def conv2d_concat(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(x.dtype)
         out = y if out is None else out + y
         off += c
     assert off == kernel.shape[2], "input channels must cover the kernel"
+    out = out.astype(jnp.float32)
     if "bias" in params:
         out = out + params["bias"].astype(jnp.float32)
     return out.astype(xs[0].dtype)

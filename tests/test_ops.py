@@ -218,3 +218,44 @@ def test_pad_to_multiple():
 # 0.38-0.82x the XLA sampler at every model site — ROADMAP.md
 # "N1 retirement". deform_conv2d / deform_conv2d_local above are the
 # designated N1 implementations.)
+
+
+def test_row_ln_matches_layer_norm(rng):
+    # Pallas row-LN (interpret mode) vs the XLA LayerNorm it replaces on
+    # the stage-output sites; f32 exact to reduction order, bf16 to 2 ulp.
+    from birefnet_tpu.ops.pallas.row_ln import layer_norm_rows
+    from birefnet_tpu.ops import layers as L
+
+    for shape in [(2, 8, 8, 192), (4, 16, 1536), (2, 7, 3, 96), (5, 192)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32)) * 3.0
+        p = {"scale": jnp.asarray(
+                 rng.normal(size=(shape[-1],)).astype(np.float32)),
+             "bias": jnp.asarray(
+                 rng.normal(size=(shape[-1],)).astype(np.float32))}
+        a = layer_norm_rows(p, x)
+        b = L.layer_norm(p, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5)
+        xb = x.astype(jnp.bfloat16)
+        ab = layer_norm_rows(p, xb).astype(np.float32)
+        bb = L.layer_norm(p, xb).astype(np.float32)
+        ulp = np.maximum(np.abs(np.asarray(bb)), 1e-2) * 2.0 ** -8
+        assert float(np.max(np.abs(np.asarray(ab) - np.asarray(bb)) / ulp)) \
+            <= 2.5
+
+
+def test_tap_conv_matches_conv2d(rng):
+    # Direct tap-accumulation head conv (interpret mode) vs lax conv;
+    # f32 to FMA-order rounding, bf16 within a few ulp (f32 taps).
+    from birefnet_tpu.ops.pallas.tap_conv import tap_conv_same
+    from birefnet_tpu.ops import layers as L
+
+    for (h, w) in [(32, 64), (64, 64)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(5, 5, 3, 1)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(1,)).astype(np.float32))
+        y = tap_conv_same(x, k, b)
+        ref = L.conv2d({"kernel": k, "bias": b}, x, padding=2)[..., 0]
+        assert y.shape == (2, h, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=0, atol=1e-4)
