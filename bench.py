@@ -11,7 +11,7 @@ program), mirroring the reference's bench_inference end-to-end shape
 (reference: examples/bench_inference.rs) but with device-side pre/post.
 
 Env overrides: BENCH_BATCH (default 2), BENCH_SIZE (default 1024),
-BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 40),
+BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 120),
 BENCH_FLASH / BENCH_PALLAS_DEFORM (default 1 on TPU).
 """
 
@@ -46,7 +46,10 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "2"))
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    iters = int(os.environ.get("BENCH_ITERS", "40"))
+    # In-flight width: the single fence's ~28 ms tunnel round trip amortizes
+    # over the queue (measured: n=40 -> 37.19, n=80 -> 37.43, n=120 ->
+    # 37.56 img/s at 37.79 device-busy; round 3c).
+    iters = int(os.environ.get("BENCH_ITERS", "120"))
 
     import jax
     _ensure_tpu_or_reexec()

@@ -199,6 +199,12 @@ class ComputeConfig:
     # boundaries) at ~65s extra one-time compile; keep False where compile
     # time matters (CPU tests), True for TPU serving/bench.
     unroll_deep_stage: bool = False
+    # Partial unroll factor for the lax.scan over block pairs (used only
+    # when unroll_deep_stage=False). k>1 compiles the pair body k times and
+    # runs depth/2/k loop iterations: most of full unroll's runtime win
+    # (loop dispatch overhead + cross-block fusion) at a bounded compile
+    # cost. Measured on TPU v5e (see ROADMAP round 3).
+    deep_stage_scan_unroll: int = 1
 
     def __post_init__(self):
         if self.deform_mode not in ("deformable", "regular",

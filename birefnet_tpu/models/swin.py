@@ -253,7 +253,8 @@ def basic_layer_forward(
                 compute)
             return x, None
 
-        x, _ = jax.lax.scan(pair_body, x, (stacked, stacked_odd))
+        x, _ = jax.lax.scan(pair_body, x, (stacked, stacked_odd),
+                            unroll=compute.deep_stage_scan_unroll)
     else:
         for j in range(depth):
             block_shift = 0 if j % 2 == 0 else shift_size

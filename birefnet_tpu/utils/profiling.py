@@ -31,6 +31,81 @@ def tensor_stats(x: jax.Array, name: str = "tensor") -> Dict[str, float]:
     return stats
 
 
+def device_op_profile(fn, *args, iters: int = 6,
+                      logdir: str = "/tmp/birefnet_prof"):
+    """Per-jit-unit and per-XLA-op device-busy attribution from a perfetto
+    trace (the authoritative timing on this platform — see
+    benchmarks/common.py::device_busy_ms for why wall clocks lie here).
+
+    Runs `fn(*args)` `iters` times under the profiler and returns
+    (units, ops) where units maps jit-module name -> ms/call and ops maps
+    jit-module name -> [(ms/call, count/call, op_name), ...] sorted by
+    cost, attributed by enclosing-span timestamps. NOTE: `while` op
+    durations include their nested body ops (which also appear as separate
+    entries) — don't sum a while with its body.
+    """
+    import bisect
+    import collections
+    import glob
+    import gzip
+    import json
+    import shutil
+
+    out = fn(*args)
+    _ = jax.tree.map(np.asarray, jax.tree.leaves(out)[0][:1])
+    shutil.rmtree(logdir, ignore_errors=True)
+    jax.profiler.start_trace(logdir, create_perfetto_trace=True)
+    outs = [fn(*args) for _ in range(iters)]
+    _ = jax.tree.map(np.asarray, jax.tree.leaves(outs[-1])[0][:1])
+    jax.profiler.stop_trace()
+
+    path = glob.glob(f"{logdir}/**/perfetto_trace.json.gz", recursive=True)[0]
+    with gzip.open(path) as fh:
+        data = json.load(fh)
+    events = data["traceEvents"] if isinstance(data, dict) else data
+    pids = {e["pid"] for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "TPU" in e["args"].get("name", "")}
+    tids = {}
+    for e in events:
+        if (e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e.get("pid") in pids):
+            tids[(e["pid"], e["tid"])] = e["args"]["name"]
+
+    spans, raw_ops = [], []
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in pids:
+            continue
+        nm, t0, dur = e.get("name", ""), e.get("ts", 0), e.get("dur", 0)
+        tname = tids.get((e["pid"], e["tid"]), "")
+        if nm.startswith("jit") and tname == "XLA Modules":
+            # Keep a short executable-hash suffix: same-named jit units
+            # (the full- and half-scale backbone) stay distinguishable.
+            base, _, suffix = nm.partition("(")
+            spans.append((t0, t0 + dur, f"{base}[{suffix[:6]}]"))
+        elif tname == "XLA Ops":
+            raw_ops.append((t0, dur, nm))
+    spans.sort()
+    starts = [s for s, _, _ in spans]
+
+    units: Dict[str, float] = collections.defaultdict(float)
+    per = collections.defaultdict(lambda: collections.defaultdict(
+        lambda: [0.0, 0]))
+    for s, t, nm in spans:
+        units[nm] += (t - s) / 1e3 / iters
+    for t0, dur, nm in raw_ops:
+        i = bisect.bisect_right(starts, t0) - 1
+        if i < 0 or t0 > spans[i][1]:
+            continue
+        cell = per[spans[i][2]][nm]
+        cell[0] += dur / 1e3 / iters
+        cell[1] += 1
+    ops = {u: sorted(((ms, n / iters, op) for op, (ms, n) in d.items()),
+                     reverse=True)
+           for u, d in per.items()}
+    return dict(units), ops
+
+
 @contextlib.contextmanager
 def span(name: str, result_holder: Optional[dict] = None) -> Iterator[None]:
     """Wall-clock span with a device fence on exit.

@@ -45,6 +45,26 @@ def test_swin_t_stage_shapes():
     assert [o.shape for o in outs] == expected
 
 
+def test_deep_stage_scan_unroll_equivalence():
+    """The deep-stage lax.scan partial-unroll knob and the full python
+    unroll must be numerically identical to the plain scan (same per-block
+    ops, only loop structure differs). swin_t's stage 2 (depth 6) takes
+    the scan path."""
+    from birefnet_tpu.configs import ComputeConfig
+
+    cfg = SwinConfig.swin_t()
+    params = init_swin_params(cfg, seed=5)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(0, 1, (1, 96, 96, 3)).astype(np.float32))
+    base = bswin.swin_forward(params, cfg, x, ComputeConfig())
+    for compute in (ComputeConfig(deep_stage_scan_unroll=3),
+                    ComputeConfig(unroll_deep_stage=True)):
+        outs = bswin.swin_forward(params, cfg, x, compute)
+        for o, b in zip(outs, base):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6)
+
+
 def test_swin_t_parity_vs_torch(rng):
     cfg = SwinConfig.swin_t()
     ckpt = _random_swin_ckpt(cfg, seed=3)
