@@ -28,6 +28,13 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, None, None, None))
 
 
+def batch_leading(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding valid for any rank >= 1 — for pytrees
+    that mix NHWC activations with rank-3 masks (a spec shorter than the
+    value's rank leaves the remaining dims unsharded)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
 def batch_spatial_sharded(mesh: Mesh) -> NamedSharding:
     """NHWC sharding: batch over data axis, H over spatial axis."""
     return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))

@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                         choices=("deformable", "deformable-local", "regular"),
                         default="deformable")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--dp", type=int, default=0, metavar="N",
+                        help="shard each batch over N chips (batch data "
+                        "parallelism; batch must be divisible by N; "
+                        "0 = single device)")
     args = parser.parse_args(argv)
 
     paths = []
@@ -80,6 +84,21 @@ def main(argv=None) -> int:
         deform_mode=args.deform_mode,
         unroll_deep_stage=on_tpu,
     )
+    mesh = None
+    if args.dp:
+        from birefnet_tpu.parallel.mesh import make_mesh
+        if args.batch % args.dp != 0:
+            print(f"error: --batch {args.batch} not divisible by "
+                  f"--dp {args.dp}", file=sys.stderr)
+            return 1
+        if args.dp > len(jax.devices()):
+            print(f"error: --dp {args.dp} > {len(jax.devices())} devices",
+                  file=sys.stderr)
+            return 1
+        mesh = make_mesh(args.dp, spatial=1)
+        print(f"Data-parallel over {args.dp} devices "
+              f"({args.batch // args.dp} images/chip/step)")
+
     print(f"Loading {ckpt} ...")
     params = bt.load_checkpoint(ckpt, cfg)
     # Masks come back at model resolution; host resizes per original size.
@@ -87,7 +106,7 @@ def main(argv=None) -> int:
     # no compile latency.
     infer = staged.make_staged_infer_fn(
         params, cfg, compute, out_size=(args.size, args.size),
-        warmup_batch=args.batch)
+        warmup_batch=args.batch, mesh=mesh)
 
     os.makedirs(args.out, exist_ok=True)
     loader = BatchLoader(paths, batch_size=args.batch, size=args.size)

@@ -38,6 +38,7 @@ def make_staged_infer_fn(
     out_size: Optional[Tuple[int, int]] = None,
     as_uint8: bool = True,
     warmup_batch: Optional[int] = None,
+    mesh=None,
 ):
     """Staged equivalent of pipeline.make_infer_fn:
     [B, H, W, 3] uint8 -> [B, out_h, out_w] mask.
@@ -55,6 +56,13 @@ def make_staged_infer_fn(
     call) — the analog of the reference pre-building its whole program at
     `BiRefNet::new` (reference: src/birefnet.rs:389). Shapes other than the
     warmed one fall back to the jit path.
+
+    mesh: optional `jax.sharding.Mesh` for multi-chip batch data
+    parallelism (the throughput-scaling route past the single-chip FLOP
+    roofline — ROADMAP "Next fronts" #1). Params are replicated,
+    frames/activations/masks are sharded batch-over-`data`; every unit is
+    batch-parallel so GSPMD inserts no cross-chip activation traffic. The
+    batch must be divisible by the mesh's data-axis size.
     """
     swin_cfg = cfg.swin_config()
     # One-time kernel cast to the compute dtype (else ~1.6 ms/call/unit of
@@ -62,7 +70,20 @@ def make_staged_infer_fn(
     from .params import cast_matmul_weights
     params = cast_matmul_weights(params, compute.dtype)
 
-    @jax.jit
+    if mesh is not None:
+        from .parallel.sharding import batch_leading, replicated
+        _bs, _rep = batch_leading(mesh), replicated(mesh)
+        # A single sharding broadcasts over each argument's pytree: every
+        # intermediate is batch-leading (NHWC activations, rank-3 masks).
+        pre_kw = dict(in_shardings=(_rep, _bs), out_shardings=_bs)
+        bb_kw = dict(in_shardings=(_rep, _bs), out_shardings=_bs)
+        mg_kw = dict(in_shardings=(_rep, _bs, _bs, _bs), out_shardings=_bs)
+        params = jax.device_put(params, _rep)
+        _dp = mesh.shape[mesh.axis_names[0]]  # data-axis size
+    else:
+        pre_kw = bb_kw = mg_kw = {}
+
+    @functools.partial(jax.jit, **pre_kw)
     def pre(params_dec, frames_u8):
         # Preprocess + the half-scale input + the decoder's input-image
         # pyramid in ONE unit: they all depend only on the image; computing
@@ -79,14 +100,14 @@ def make_staged_infer_fn(
         pyramid = bdec.input_pyramid(params_dec, cfg, x, compute)
         return x, x_half, pyramid
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(1,), **bb_kw)
     def backbone(params_bb, x):
         # Compiled once per input shape (full and half scale); the backbone
         # pass is each input's last consumer, so the activation is donated.
         return bswin.swin_forward(params_bb, swin_cfg, x, compute)
 
     @functools.partial(jax.jit, static_argnums=(4, 5),
-                       donate_argnums=(1, 2, 3))
+                       donate_argnums=(1, 2, 3), **mg_kw)
     def merge_decode_post(params, pyramid, feats, feats_half, oh, ow):
         # mul_scl_ipt concat + cxt concat + squeeze + decoder + postprocess
         # in one unit (reference: src/birefnet.rs:423-460). Materialized
@@ -120,6 +141,10 @@ def make_staged_infer_fn(
         # executables: the first real call at the warmed shape dispatches
         # into them with zero tracing/compilation.
         b = warmup_batch
+        if mesh is not None and b % _dp != 0:
+            raise ValueError(
+                f"warmup_batch {b} not divisible by the mesh's data-axis "
+                f"size {_dp}")
         h, w = out_size if out_size is not None else cfg.size
         frames_s = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
         x_s, xh_s, pyr_s = jax.eval_shape(pre, params["decoder"], frames_s)
@@ -137,6 +162,12 @@ def make_staged_infer_fn(
 
     def infer(frames_u8):
         b, h, w, _ = frames_u8.shape
+        if mesh is not None:
+            if b % _dp != 0:
+                raise ValueError(
+                    f"batch {b} not divisible by the mesh's data-axis "
+                    f"size {_dp}")
+            frames_u8 = jax.device_put(frames_u8, _bs)
         oh, ow = out_size if out_size is not None else (h, w)
         if aot and aot["shape"] == (b, h, w):
             x, x_half, pyramid = aot["pre"](params["decoder"], frames_u8)

@@ -194,3 +194,26 @@ def test_hr_sharded_infer_matches_dense(mesh8, rng):
     b = np.asarray(sharded(frames))
     assert a.shape == b.shape
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1  # u8 boundary
+
+
+def test_staged_dp_matches_dense(mesh_dp, rng):
+    """The staged serving pipeline with a DP mesh (serve.py --dp; AOT-warmed
+    executables, replicated params, batch-sharded activations) must match
+    the single-device staged path."""
+    import dataclasses
+    from birefnet_tpu import staged
+    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(), size=(64, 64))
+    params = bt.init_params(cfg, seed=2)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(8, 64, 64, 3), dtype=np.uint8))
+
+    dense = staged.make_staged_infer_fn(params, cfg)
+    dp = staged.make_staged_infer_fn(params, cfg, warmup_batch=8,
+                                     mesh=mesh_dp)
+    a = np.asarray(dense(frames))
+    b = np.asarray(dp(frames))
+    assert a.shape == b.shape
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1  # u8 boundary
+
+    with pytest.raises(ValueError, match="divisible"):
+        dp(frames[:3])
