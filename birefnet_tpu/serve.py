@@ -111,24 +111,49 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     loader = BatchLoader(paths, batch_size=args.batch, size=args.size)
 
+    # Three-way overlap: the loader preps batch N+2 on its own threads,
+    # up to `depth` device batches stay in flight (dispatch is async; the
+    # readback via np.asarray is the only fence on this platform), and
+    # mask resize + PNG encode run on a host thread pool behind the
+    # readback. The device never waits on PNG IO and vice versa.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
     from PIL import Image
-    done = 0
-    t0 = time.time()
+
+    def post_one(mask, oh, ow, src):
+        out = native.resize_lanczos3_u8(mask[..., None], oh, ow)[..., 0]
+        dst = os.path.join(
+            args.out,
+            os.path.splitext(os.path.basename(src))[0] + "_mask.png")
+        Image.fromarray(out).save(dst)
+        return dst
+
+    pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4))
+    futures = []
+    inflight = deque()
+    depth = 2
     it = iter(paths)
+
+    def drain_one():
+        dev, sizes_, paths_ = inflight.popleft()
+        masks = np.asarray(dev)
+        for i, (oh, ow) in enumerate(sizes_):
+            futures.append(pool.submit(post_one, masks[i], oh, ow,
+                                       paths_[i]))
+
+    t0 = time.time()
     for frames, sizes in loader:
-        masks = np.asarray(infer(jnp.asarray(frames)))
-        for i, (oh, ow) in enumerate(sizes):
-            mask = native.resize_lanczos3_u8(
-                masks[i][..., None], oh, ow)[..., 0]
-            src = next(it)
-            dst = os.path.join(
-                args.out,
-                os.path.splitext(os.path.basename(src))[0] + "_mask.png")
-            Image.fromarray(mask).save(dst)
-            done += 1
+        dev = infer(jnp.asarray(frames))
+        inflight.append((dev, sizes, [next(it) for _ in sizes]))
+        if len(inflight) > depth:
+            drain_one()
+    while inflight:
+        drain_one()
+    done = sum(1 for f in futures if f.result())
+    pool.shutdown()
     dt = time.time() - t0
     print(f"Segmented {done} images in {dt:.1f}s "
-          f"({done / dt:.2f} img/s incl. compile+IO)")
+          f"({done / dt:.2f} img/s incl. IO)")
     return 0
 
 

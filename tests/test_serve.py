@@ -1,4 +1,11 @@
-"""End-to-end serving entry point test (CPU, tiny size)."""
+"""serve.py end-to-end: the batch-serving app (loader -> staged inference
+-> pipelined readback -> threaded host resize + PNG encode).
+
+The reference's only app is a single-image example (reference:
+examples/infer_image.rs); the serving loop (fixed-shape batches, in-flight
+device queue, per-image original-size restore) is new capability — this
+drives it whole on CPU at 64x64 with a partial final batch.
+"""
 
 import os
 
@@ -10,23 +17,44 @@ from safetensors.numpy import save_file
 import birefnet_tpu as bt
 
 
-def test_serve_batch(tmp_path, rng):
-    imgs = tmp_path / "imgs"
-    imgs.mkdir()
-    for i, (h, w) in enumerate([(50, 70), (80, 60), (64, 64)]):
-        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        Image.fromarray(arr).save(imgs / f"im{i}.png")
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ck") / "m.safetensors"
+    save_file(bt.random_checkpoint(bt.BiRefNetConfig.swin_l(), 3),
+              str(path))
+    return str(path)
 
-    ckpt = tmp_path / "model.safetensors"
-    save_file(bt.random_checkpoint(bt.BiRefNetConfig.swin_l(), 3), str(ckpt))
 
-    from birefnet_tpu import serve
-    out = tmp_path / "masks"
-    rc = serve.main([str(imgs), "--out", str(out), "--checkpoint", str(ckpt),
-                     "--batch", "2", "--size", "64", "--dtype", "float32",
-                     "--cpu"])
+def test_serve_end_to_end(tmp_path, ckpt_path, rng):
+    from birefnet_tpu.serve import main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    sizes = [(80, 70), (64, 64), (100, 40), (33, 57), (70, 80)]
+    for i, (h, w) in enumerate(sizes):
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8), "RGB"
+        ).save(img_dir / f"im{i}.png")
+
+    out_dir = tmp_path / "masks"
+    rc = main([str(img_dir), "--out", str(out_dir),
+               "--checkpoint", ckpt_path, "--batch", "2", "--size", "64",
+               "--dtype", "float32", "--cpu", "--deform-mode", "regular"])
     assert rc == 0
-    masks = sorted(os.listdir(out))
-    assert masks == ["im0_mask.png", "im1_mask.png", "im2_mask.png"]
-    m0 = np.asarray(Image.open(out / "im0_mask.png"))
-    assert m0.shape == (50, 70)  # original size restored
+
+    outs = sorted(os.listdir(out_dir))
+    assert outs == [f"im{i}_mask.png" for i in range(5)]
+    for i, (h, w) in enumerate(sizes):
+        m = np.asarray(Image.open(out_dir / f"im{i}_mask.png"))
+        assert m.shape == (h, w) and m.dtype == np.uint8
+
+
+def test_serve_rejects_bad_dp(tmp_path, ckpt_path, rng):
+    from birefnet_tpu.serve import main
+    img = tmp_path / "a.png"
+    Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+                    "RGB").save(img)
+    rc = main([str(img), "--out", str(tmp_path / "o"), "--checkpoint",
+               ckpt_path, "--batch", "3", "--size", "64", "--cpu",
+               "--dp", "2"])
+    assert rc == 1
