@@ -233,3 +233,44 @@ def test_flash_qkv_compiles(b_, heads, masked):
         qkv, bias, mask, heads, interpret=False)
     assert out.shape == (b_, N, c)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+@requires_tpu
+@pytest.mark.parametrize("h,c", [(256, 192), (128, 384), (64, 768),
+                                 (32, 1536), (128, 192), (64, 384),
+                                 (32, 768), (16, 1536)])
+def test_row_ln_compiles(h, c):
+    """Compile + execute the Pallas row-LN (stage-output norms,
+    models/swin.py) at every full/half-scale stage geometry."""
+    from birefnet_tpu.ops.pallas import row_ln
+    from birefnet_tpu.ops import layers as L
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, h, h, c)) * 0.5, jnp.bfloat16)
+    params = {"scale": jnp.asarray(rng.normal(1, .1, size=(c,)), jnp.float32),
+              "bias": jnp.asarray(rng.normal(0, .1, size=(c,)), jnp.float32)}
+    got = np.asarray(row_ln.layer_norm_rows(params, x, interpret=False),
+                     np.float32)
+    ref = np.asarray(L.layer_norm(params, x.astype(jnp.float32)), np.float32)
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).max() < 2e-2
+
+
+@requires_tpu
+@pytest.mark.parametrize("size,b", [(1024, 2), (512, 1)])
+def test_tap_conv_compiles(size, b):
+    """Compile + execute the tap-accumulation conv (folded ipt1 5x5 head,
+    models/decoder.py::_composed_pair_conv) at full-resolution geometry."""
+    from birefnet_tpu.ops.pallas import tap_conv
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, size, size, 3)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(0, .1, size=(5, 5, 3, 1)), jnp.float32)
+    bias = jnp.asarray([0.2], jnp.float32)
+    got = np.asarray(tap_conv.tap_conv_same(x, k, bias, interpret=False),
+                     np.float32)
+    ref = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0] + 0.2
+    ref = np.asarray(ref, np.float32)
+    assert got.shape == (b, size, size)
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).max() < 2e-2
