@@ -217,3 +217,23 @@ def test_staged_dp_matches_dense(mesh_dp, rng):
 
     with pytest.raises(ValueError, match="divisible"):
         dp(frames[:3])
+
+
+def test_staged_dp_hlo_has_no_collectives(mesh_dp, rng):
+    """Pure batch-DP must lower with ZERO cross-chip activation traffic —
+    the basis for the 'DP scales near-linearly' claim (ROADMAP next-fronts
+    #1): each chip runs the whole model on its batch shard; only then is
+    throughput ~N x single-chip. Inspect every staged unit's compiled HLO."""
+    import dataclasses
+    from birefnet_tpu import staged
+    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(), size=(64, 64))
+    params = bt.init_params(cfg, seed=2)
+    dp = staged.make_staged_infer_fn(params, cfg, warmup_batch=8,
+                                     mesh=mesh_dp)
+    for name, exe in dp._aot.items():
+        if name == "shape":
+            continue
+        hlo = exe.as_text()
+        for op in ("collective-permute", "all-gather", "all-to-all",
+                   "all-reduce", "reduce-scatter"):
+            assert op not in hlo, f"{name}: unexpected {op} in DP program"
