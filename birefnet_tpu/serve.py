@@ -40,9 +40,13 @@ def main(argv=None) -> int:
                         default="deformable")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dp", type=int, default=0, metavar="N",
-                        help="shard each batch over N chips (batch data "
-                        "parallelism; batch must be divisible by N; "
+                        help="shard each batch over N data-parallel mesh "
+                        "groups (batch must be divisible by N; "
                         "0 = single device)")
+    parser.add_argument("--spatial", type=int, default=1, metavar="M",
+                        help="additionally shard activation height M-way "
+                        "within each data group (HR configs; total chips "
+                        "= dp*spatial)")
     args = parser.parse_args(argv)
 
     paths = []
@@ -91,13 +95,15 @@ def main(argv=None) -> int:
             print(f"error: --batch {args.batch} not divisible by "
                   f"--dp {args.dp}", file=sys.stderr)
             return 1
-        if args.dp > len(jax.devices()):
-            print(f"error: --dp {args.dp} > {len(jax.devices())} devices",
-                  file=sys.stderr)
+        n_chips = args.dp * args.spatial
+        if n_chips > len(jax.devices()):
+            print(f"error: --dp {args.dp} x --spatial {args.spatial} > "
+                  f"{len(jax.devices())} devices", file=sys.stderr)
             return 1
-        mesh = make_mesh(args.dp, spatial=1)
-        print(f"Data-parallel over {args.dp} devices "
-              f"({args.batch // args.dp} images/chip/step)")
+        mesh = make_mesh(n_chips, spatial=args.spatial)
+        print(f"Sharded over {n_chips} devices (data {args.dp} x "
+              f"spatial {args.spatial}; "
+              f"{args.batch // args.dp} images/group/step)")
 
     print(f"Loading {ckpt} ...")
     params = bt.load_checkpoint(ckpt, cfg)

@@ -57,11 +57,13 @@ def make_staged_infer_fn(
     `BiRefNet::new` (reference: src/birefnet.rs:389). Shapes other than the
     warmed one fall back to the jit path.
 
-    mesh: optional `jax.sharding.Mesh` for multi-chip batch data
-    parallelism (the throughput-scaling route past the single-chip FLOP
-    roofline — ROADMAP "Next fronts" #1). Params are replicated,
-    frames/activations/masks are sharded batch-over-`data`; every unit is
-    batch-parallel so GSPMD inserts no cross-chip activation traffic. The
+    mesh: optional `jax.sharding.Mesh` for multi-chip execution (the
+    throughput-scaling route past the single-chip FLOP roofline — ROADMAP
+    "Next fronts" #1). Params are replicated; frames/activations/masks
+    are sharded batch-over-`data`, and — when the mesh's `spatial` axis
+    is >1 (HR configs) — additionally height-over-`spatial`, with GSPMD
+    inserting the halo-exchange collectives inside each unit. Pure-DP
+    meshes lower with ZERO cross-chip activation traffic (tested). The
     batch must be divisible by the mesh's data-axis size.
     """
     swin_cfg = cfg.swin_config()
@@ -70,16 +72,41 @@ def make_staged_infer_fn(
     from .params import cast_matmul_weights
     params = cast_matmul_weights(params, compute.dtype)
 
+    _leaf_sh = None
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
         from .parallel.sharding import batch_leading, replicated
-        _bs, _rep = batch_leading(mesh), replicated(mesh)
-        # A single sharding broadcasts over each argument's pytree: every
-        # intermediate is batch-leading (NHWC activations, rank-3 masks).
-        pre_kw = dict(in_shardings=(_rep, _bs), out_shardings=_bs)
-        bb_kw = dict(in_shardings=(_rep, _bs), out_shardings=_bs)
-        mg_kw = dict(in_shardings=(_rep, _bs, _bs, _bs), out_shardings=_bs)
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        spatial_n = axes.get("spatial", 1)
+        _bs = batch_leading(mesh)
+        _rep = replicated(mesh)
         params = jax.device_put(params, _rep)
         _dp = mesh.shape[mesh.axis_names[0]]  # data-axis size
+        if spatial_n > 1:
+            # HR path: additionally shard H over `spatial` — but only on
+            # leaves whose H divides (the deepest half-scale stages can
+            # have H < spatial, e.g. [B,1,1,1536]; those stay batch-only).
+            # Per-leaf specs need the concrete shapes, so this path builds
+            # its sharded jits at warmup instead of on the decorators.
+            if warmup_batch is None:
+                raise ValueError(
+                    "a spatial-sharded mesh requires warmup_batch (the "
+                    "per-leaf shardings are built from the warmed shapes)")
+            _bsp = NamedSharding(mesh, PartitionSpec("data", "spatial"))
+
+            def _leaf_sh(aval, _bsp=_bsp, _bs=_bs, n=spatial_n):
+                if aval.ndim >= 2 and aval.shape[1] % n == 0:
+                    return _bsp
+                return _bs
+
+            pre_kw = bb_kw = mg_kw = {}
+        else:
+            # Pure DP: one rank-agnostic batch-leading spec broadcasts
+            # over each argument's pytree.
+            pre_kw = dict(in_shardings=(_rep, _bs), out_shardings=_bs)
+            bb_kw = dict(in_shardings=(_rep, _bs), out_shardings=_bs)
+            mg_kw = dict(in_shardings=(_rep, _bs, _bs, _bs),
+                         out_shardings=_bs)
     else:
         pre_kw = bb_kw = mg_kw = {}
 
@@ -148,15 +175,40 @@ def make_staged_infer_fn(
         h, w = out_size if out_size is not None else cfg.size
         frames_s = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
         x_s, xh_s, pyr_s = jax.eval_shape(pre, params["decoder"], frames_s)
-        aot["pre"] = pre.lower(params["decoder"], frames_s).compile()
-        aot["backbone_full"] = backbone.lower(params["bb"], x_s).compile()
         feats_s = jax.eval_shape(backbone, params["bb"], x_s)
-        feats_half_s = None
+        feats_half_s = (jax.eval_shape(backbone, params["bb"], xh_s)
+                        if cfg.mul_scl_ipt else None)
+        pre_j, bb_full_j, bb_half_j, mg_j = (pre, backbone, backbone,
+                                             merge_decode_post)
+        if _leaf_sh is not None:
+            # Batch x spatial mesh: wrap the units with per-leaf shardings
+            # derived from the warmed shapes (jit-of-jit inlines; donation
+            # re-stated on the outer wrapper).
+            sh = functools.partial(jax.tree.map, _leaf_sh)
+            pre_j = jax.jit(pre, in_shardings=(_rep, _leaf_sh(frames_s)),
+                            out_shardings=(sh(x_s), sh(xh_s), sh(pyr_s)))
+            bb_full_j = jax.jit(backbone, donate_argnums=(1,),
+                                in_shardings=(_rep, _leaf_sh(x_s)),
+                                out_shardings=sh(feats_s))
+            if cfg.mul_scl_ipt:
+                bb_half_j = jax.jit(backbone, donate_argnums=(1,),
+                                    in_shardings=(_rep, _leaf_sh(xh_s)),
+                                    out_shardings=sh(feats_half_s))
+            out_s = jax.eval_shape(merge_decode_post, params, pyr_s,
+                                   feats_s, feats_half_s, h, w)
+            mg_j = jax.jit(merge_decode_post, static_argnums=(4, 5),
+                           donate_argnums=(1, 2, 3),
+                           in_shardings=(_rep, sh(pyr_s), sh(feats_s),
+                                         sh(feats_half_s)),
+                           out_shardings=sh(out_s))
+            aot["in_sharding"] = _leaf_sh(frames_s)
+        aot["pre"] = pre_j.lower(params["decoder"], frames_s).compile()
+        aot["backbone_full"] = bb_full_j.lower(params["bb"], x_s).compile()
         if cfg.mul_scl_ipt:
-            aot["backbone_half"] = backbone.lower(params["bb"], xh_s).compile()
-            feats_half_s = jax.eval_shape(backbone, params["bb"], xh_s)
+            aot["backbone_half"] = bb_half_j.lower(params["bb"],
+                                                   xh_s).compile()
         # static (oh, ow) are baked into the compiled merge unit.
-        aot["merge"] = merge_decode_post.lower(
+        aot["merge"] = mg_j.lower(
             params, pyr_s, feats_s, feats_half_s, h, w).compile()
         aot["shape"] = (b, h, w)
 
@@ -167,7 +219,9 @@ def make_staged_infer_fn(
                 raise ValueError(
                     f"batch {b} not divisible by the mesh's data-axis "
                     f"size {_dp}")
-            frames_u8 = jax.device_put(frames_u8, _bs)
+            frames_u8 = jax.device_put(
+                frames_u8, aot.get("in_sharding", _bs)
+                if aot and aot["shape"] == (b, h, w) else _bs)
         oh, ow = out_size if out_size is not None else (h, w)
         if aot and aot["shape"] == (b, h, w):
             x, x_half, pyramid = aot["pre"](params["decoder"], frames_u8)

@@ -237,3 +237,29 @@ def test_staged_dp_hlo_has_no_collectives(mesh_dp, rng):
         for op in ("collective-permute", "all-gather", "all-to-all",
                    "all-reduce", "reduce-scatter"):
             assert op not in hlo, f"{name}: unexpected {op} in DP program"
+
+
+def test_staged_batch_spatial_matches_dense(mesh8, rng):
+    """The staged AOT pipeline on a batch x spatial mesh (serve.py --dp N
+    --spatial M, the HR multi-chip path — the monolithic sharded program
+    cannot remote-compile at large sizes) must match the single-device
+    staged path; GSPMD inserts the halo collectives inside each unit."""
+    import dataclasses
+    from birefnet_tpu import staged
+    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(), size=(128, 128))
+    params = bt.init_params(cfg, seed=2)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(4, 128, 128, 3), dtype=np.uint8))
+
+    dense = staged.make_staged_infer_fn(params, cfg)
+    sharded = staged.make_staged_infer_fn(params, cfg, warmup_batch=4,
+                                          mesh=mesh8)  # data 4 x spatial 2
+    a = np.asarray(dense(frames))
+    b = np.asarray(sharded(frames))
+    assert a.shape == b.shape == (4, 128, 128)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1  # u8 boundary
+
+    # the spatially-sharded program must actually communicate
+    hlo = sharded._aot["backbone_full"].as_text()
+    assert ("collective-permute" in hlo or "all-gather" in hlo
+            or "all-to-all" in hlo or "all-reduce" in hlo)
