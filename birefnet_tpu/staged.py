@@ -92,6 +92,20 @@ def make_staged_infer_fn(
                 raise ValueError(
                     "a spatial-sharded mesh requires warmup_batch (the "
                     "per-leaf shardings are built from the warmed shapes)")
+            if (compute.dtype != jnp.float32
+                    and (min(cfg.size) // 32) // spatial_n < 4):
+                # XLA's SPMD partitioner emits a mixed-precision
+                # pad(bf16, f32-const) on its degenerate full-gather halo
+                # path when a spatially-sharded extent is <= the k7 ASPP
+                # halo (3 rows), and the HLO verifier rejects it. Only
+                # reachable at toy sizes: the deepest merge-unit scale is
+                # size/32, and >= 4 rows/shard there is verified to
+                # compile (256^2 at spatial=2, bf16, 2026-08-18).
+                raise ValueError(
+                    f"{jnp.dtype(compute.dtype).name} with "
+                    f"spatial={spatial_n} needs min(size) >= "
+                    f"{spatial_n * 4 * 32} (got {min(cfg.size)}); use "
+                    f"float32 or a pure-DP mesh at this size")
             _bsp = NamedSharding(mesh, PartitionSpec("data", "spatial"))
 
             def _leaf_sh(aval, _bsp=_bsp, _bs=_bs, n=spatial_n):
