@@ -89,6 +89,13 @@ def main(argv=None) -> int:
         unroll_deep_stage=on_tpu,
     )
     mesh = None
+    if args.spatial > 1 and not args.dp:
+        # --spatial composes with --dp (total chips = dp*spatial); without
+        # it the mesh would silently never be built and the request would
+        # run unsharded on one device.
+        print("error: --spatial requires --dp (use --dp 1 for a "
+              "spatial-only mesh)", file=sys.stderr)
+        return 1
     if args.dp:
         from birefnet_tpu.parallel.mesh import make_mesh
         if args.batch % args.dp != 0:
@@ -135,7 +142,7 @@ def main(argv=None) -> int:
         return dst
 
     pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4))
-    futures = []
+    futures = deque()
     inflight = deque()
     depth = 2
     it = iter(paths)
@@ -146,17 +153,27 @@ def main(argv=None) -> int:
         for i, (oh, ow) in enumerate(sizes_):
             futures.append(pool.submit(post_one, masks[i], oh, ow,
                                        paths_[i]))
+        # Surface host post-processing failures (unwritable --out, codec
+        # errors) promptly — as soon as their batch's futures have settled —
+        # instead of after the whole run.
+        while futures and futures[0].done():
+            futures.popleft().result()
 
     t0 = time.time()
-    for frames, sizes in loader:
-        dev = infer(jnp.asarray(frames))
-        inflight.append((dev, sizes, [next(it) for _ in sizes]))
-        if len(inflight) > depth:
+    done = 0
+    try:
+        for frames, sizes in loader:
+            dev = infer(jnp.asarray(frames))
+            inflight.append((dev, sizes, [next(it) for _ in sizes]))
+            done += len(sizes)
+            if len(inflight) > depth:
+                drain_one()
+        while inflight:
             drain_one()
-    while inflight:
-        drain_one()
-    done = sum(1 for f in futures if f.result())
-    pool.shutdown()
+        for f in futures:
+            f.result()
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     dt = time.time() - t0
     print(f"Segmented {done} images in {dt:.1f}s "
           f"({done / dt:.2f} img/s incl. IO)")

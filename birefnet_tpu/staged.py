@@ -233,6 +233,14 @@ def make_staged_infer_fn(
                 raise ValueError(
                     f"batch {b} not divisible by the mesh's data-axis "
                     f"size {_dp}")
+            if _leaf_sh is not None and aot["shape"] != (b, h, w):
+                # The spatial mesh's per-leaf H shardings were built from
+                # the warmed shapes; an unwarmed shape would silently run
+                # batch-only (losing the H sharding the mesh was requested
+                # for) and trigger a fresh compile.
+                raise ValueError(
+                    f"shape {(b, h, w)} != warmed {aot['shape']}: a "
+                    "spatial-sharded mesh only serves the warmup shape")
             frames_u8 = jax.device_put(
                 frames_u8, aot.get("in_sharding", _bs)
                 if aot and aot["shape"] == (b, h, w) else _bs)

@@ -42,7 +42,10 @@ def device_op_profile(fn, *args, iters: int = 6,
     jit-module name -> [(ms/call, count/call, op_name), ...] sorted by
     cost, attributed by enclosing-span timestamps. NOTE: `while` op
     durations include their nested body ops (which also appear as separate
-    entries) — don't sum a while with its body.
+    entries) — don't sum a while with its body. Attribution is keyed per
+    device pid, so multi-chip traces don't cross-attribute; on an N-chip
+    run each unit's ms/call is summed over chips (device-busy, not
+    wall-clock).
     """
     import bisect
     import collections
@@ -72,7 +75,12 @@ def device_op_profile(fn, *args, iters: int = 6,
                 and e.get("pid") in pids):
             tids[(e["pid"], e["tid"])] = e["args"]["name"]
 
-    spans, raw_ops = [], []
+    # Spans and ops are keyed per device pid: on a multi-device run each
+    # chip's trace is a separate process, and a timestamp-only bisect over
+    # one merged span list would cross-attribute concurrently executing
+    # modules between chips.
+    spans_by_pid = collections.defaultdict(list)
+    raw_ops = []
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in pids:
             continue
@@ -82,19 +90,24 @@ def device_op_profile(fn, *args, iters: int = 6,
             # Keep a short executable-hash suffix: same-named jit units
             # (the full- and half-scale backbone) stay distinguishable.
             base, _, suffix = nm.partition("(")
-            spans.append((t0, t0 + dur, f"{base}[{suffix[:6]}]"))
+            spans_by_pid[e["pid"]].append((t0, t0 + dur,
+                                           f"{base}[{suffix[:6]}]"))
         elif tname == "XLA Ops":
-            raw_ops.append((t0, dur, nm))
-    spans.sort()
-    starts = [s for s, _, _ in spans]
+            raw_ops.append((e["pid"], t0, dur, nm))
+    starts_by_pid = {}
+    for pid, spans in spans_by_pid.items():
+        spans.sort()
+        starts_by_pid[pid] = [s for s, _, _ in spans]
 
     units: Dict[str, float] = collections.defaultdict(float)
     per = collections.defaultdict(lambda: collections.defaultdict(
         lambda: [0.0, 0]))
-    for s, t, nm in spans:
-        units[nm] += (t - s) / 1e3 / iters
-    for t0, dur, nm in raw_ops:
-        i = bisect.bisect_right(starts, t0) - 1
+    for spans in spans_by_pid.values():
+        for s, t, nm in spans:
+            units[nm] += (t - s) / 1e3 / iters
+    for pid, t0, dur, nm in raw_ops:
+        spans = spans_by_pid.get(pid, [])
+        i = bisect.bisect_right(starts_by_pid.get(pid, []), t0) - 1
         if i < 0 or t0 > spans[i][1]:
             continue
         cell = per[spans[i][2]][nm]

@@ -58,3 +58,71 @@ def test_serve_rejects_bad_dp(tmp_path, ckpt_path, rng):
                ckpt_path, "--batch", "3", "--size", "64", "--cpu",
                "--dp", "2"])
     assert rc == 1
+
+
+def test_serve_rejects_spatial_without_dp(tmp_path, ckpt_path, rng):
+    """--spatial composes with --dp; alone it must error rather than
+    silently run unsharded (round-3 advisor finding)."""
+    from birefnet_tpu.serve import main
+    img = tmp_path / "a.png"
+    Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+                    "RGB").save(img)
+    rc = main([str(img), "--out", str(tmp_path / "o"), "--checkpoint",
+               ckpt_path, "--batch", "2", "--size", "64", "--cpu",
+               "--spatial", "2"])
+    assert rc == 1
+
+
+def _make_imgs(tmp_path, rng, n=5):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    sizes = [(80, 70), (64, 64), (100, 40), (33, 57), (70, 80)][:n]
+    for i, (h, w) in enumerate(sizes):
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8), "RGB"
+        ).save(img_dir / f"im{i}.png")
+    return img_dir, sizes
+
+
+def _check_masks(out_dir, sizes):
+    assert sorted(os.listdir(out_dir)) == \
+        [f"im{i}_mask.png" for i in range(len(sizes))]
+    for i, (h, w) in enumerate(sizes):
+        m = np.asarray(Image.open(out_dir / f"im{i}_mask.png"))
+        assert m.shape == (h, w) and m.dtype == np.uint8
+
+
+def test_serve_dp_end_to_end(tmp_path, ckpt_path, rng):
+    """serve.py --dp 2 driven whole on the virtual mesh: serve's own mesh
+    construction, AOT warmup, in-flight queue, and a zero-padded final
+    batch all through the DP staged path (round-3 verdict weak #5)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 (virtual) devices")
+    from birefnet_tpu.serve import main
+    img_dir, sizes = _make_imgs(tmp_path, rng)
+    out_dir = tmp_path / "masks"
+    rc = main([str(img_dir), "--out", str(out_dir),
+               "--checkpoint", ckpt_path, "--batch", "4", "--size", "64",
+               "--dtype", "float32", "--cpu", "--deform-mode", "regular",
+               "--dp", "2"])
+    assert rc == 0
+    _check_masks(out_dir, sizes)
+
+
+def test_serve_dp_spatial_end_to_end(tmp_path, ckpt_path, rng):
+    """serve.py --dp 2 --spatial 2 (the HR multi-chip serving invocation)
+    end-to-end on the virtual mesh — the batch x spatial staged units built
+    by serve itself, not just one layer down in test_parallel."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 (virtual) devices")
+    from birefnet_tpu.serve import main
+    img_dir, sizes = _make_imgs(tmp_path, rng)
+    out_dir = tmp_path / "masks"
+    rc = main([str(img_dir), "--out", str(out_dir),
+               "--checkpoint", ckpt_path, "--batch", "4", "--size", "64",
+               "--dtype", "float32", "--cpu", "--deform-mode", "regular",
+               "--dp", "2", "--spatial", "2"])
+    assert rc == 0
+    _check_masks(out_dir, sizes)
