@@ -222,6 +222,36 @@ def flash_window_attention_qkv(
     return _flash_qkv(qkv, bias, mask, num_heads, interpret=interpret)
 
 
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Bias-free flash attention — N2 API parity with the reference MFA
+    bridge's `flash_attention(q, k, v, causal)` entry point (reference:
+    src/swin.rs:9-10; the BiRefNet model itself never calls it, only the
+    bias variants below).
+
+    Args:
+      q, k, v: [B_, heads, N, head_dim].
+      causal: mask out j > i scores (finite -1e9 addend, same
+        finite-mask contract as the SW-MSA path).
+    Returns [B_, heads, N, head_dim].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    heads, n = q.shape[1], q.shape[2]
+    if causal:
+        i = jnp.arange(n)
+        bias = jnp.where(i[:, None] >= i[None, :], 0.0, -1e9)
+        bias = jnp.broadcast_to(bias.astype(q.dtype), (heads, n, n))
+    else:
+        bias = jnp.zeros((heads, n, n), q.dtype)
+    return _flash_plain(q, k, v, bias, interpret=interpret)
+
+
 def flash_window_attention(
     q: jax.Array,
     k: jax.Array,

@@ -89,6 +89,33 @@ def test_bf16(rng):
     assert diff.max() < 0.1  # reference's large-config threshold
 
 
+def test_flash_attention_bias_free(rng):
+    """N2 API parity: the reference MFA bridge also exposes a bias-free
+    `flash_attention(q, k, v, causal)` (reference: src/swin.rs:9-10). The
+    model never calls it, but the entry point must exist and match a plain
+    softmax(q*scale @ k^T) @ v reference, causal and not."""
+    from birefnet_tpu.ops.pallas.flash_window_attn import flash_attention
+    b_, heads, n, d = 4, 2, 16, 8
+    q = jnp.asarray(_rand(rng, (b_, heads, n, d)))
+    k = jnp.asarray(_rand(rng, (b_, heads, n, d)))
+    v = jnp.asarray(_rand(rng, (b_, heads, n, d)))
+
+    s = np.einsum("bhnd,bhmd->bhnm", np.asarray(q), np.asarray(k)) * d**-0.5
+    want = np.einsum("bhnm,bhmd->bhnd",
+                     np.asarray(jax.nn.softmax(jnp.asarray(s), axis=-1)),
+                     np.asarray(v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    causal = np.where(np.tril(np.ones((n, n))), s, -np.inf)
+    want_c = np.einsum(
+        "bhnm,bhmd->bhnd",
+        np.asarray(jax.nn.softmax(jnp.asarray(causal), axis=-1)),
+        np.asarray(v))
+    got_c = np.asarray(flash_attention(q, k, v, causal=True, interpret=True))
+    np.testing.assert_allclose(got_c, want_c, atol=1e-5, rtol=1e-5)
+
+
 def test_qkv_packed_kernel_matches_naive(rng):
     """The all-heads packed-qkv kernel must match the naive path."""
     from birefnet_tpu.ops.pallas.flash_window_attn import (
