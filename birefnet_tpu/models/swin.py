@@ -325,6 +325,16 @@ def swin_forward(
     Returns the 4 multi-scale NHWC features [B, H/4^..., C_i] with per-stage
     LayerNorm applied (reference: src/swin.rs:768-797).
     """
+    if compute.use_flash_attention and cfg.window_size != 12:
+        # Supported-geometry guard: the fused Pallas kernels are
+        # legality-tested and accuracy-gated only at the ws=12 family the
+        # shipping Swin-L runs (tests/tpu/test_kernel_legality.py).
+        # Measured at ws=7/C=96 (swin_t/s, reference: src/swin.rs:27-52):
+        # the bf16 block kernel fails Mosaic's vector shape-cast on the
+        # in-kernel window split, and the f32 fused-MLP dot loses ~5e-4
+        # rel per block (job_003/004, 2026-08-18). Non-ws-12 presets run
+        # the unfused XLA path, which is exact at every geometry.
+        compute = compute.with_overrides(use_flash_attention=False)
     x = patch_embed_forward(params["patch_embed"], x, cfg.patch_size, compute)
 
     outs: List[jax.Array] = []

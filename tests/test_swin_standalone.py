@@ -65,6 +65,25 @@ def test_deep_stage_scan_unroll_equivalence():
                                        atol=1e-6, rtol=1e-6)
 
 
+def test_non_ws12_preset_flash_falls_back():
+    """Supported-geometry guard (round-3 verdict item 6): the fused Pallas
+    path is validated only at the ws=12 family; with flash requested on a
+    ws=7 preset the backbone must provably fall back to the unfused path —
+    bitwise-identical outputs (the fused interpret path would differ at
+    ~1e-7)."""
+    from birefnet_tpu.configs import ComputeConfig
+
+    cfg = SwinConfig.swin_t()
+    params = init_swin_params(cfg, seed=6)
+    x = jnp.asarray(np.random.default_rng(1)
+                    .normal(0, 0.3, (1, 56, 56, 3)).astype(np.float32))
+    base = bswin.swin_forward(params, cfg, x, ComputeConfig())
+    flash = bswin.swin_forward(
+        params, cfg, x, ComputeConfig(use_flash_attention=True))
+    for b, f in zip(base, flash):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(f))
+
+
 def test_swin_t_parity_vs_torch(rng):
     cfg = SwinConfig.swin_t()
     ckpt = _random_swin_ckpt(cfg, seed=3)
