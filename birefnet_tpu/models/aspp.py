@@ -15,6 +15,8 @@ sampling (XLA gather formulation or the Pallas kernel).
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +24,28 @@ from ..configs import ComputeConfig
 from ..ops import layers as L
 from ..ops.deform_conv import deform_conv2d
 from ..ops.resize import resize_nearest
+
+# When not None, every deformable site appends its max|offset| (a traced
+# f32 scalar) during tracing — the hook behind the runtime offset-radius
+# probe (calibrate.py). The reference has no analog: its Metal path never
+# inspects the offsets it samples with (reference: src/aspp.rs:169-186).
+_OFFSET_STATS: list | None = None
+
+
+@contextlib.contextmanager
+def collect_offset_stats():
+    """Collect per-site max|offset| during a forward trace.
+
+    Yields the list that the 20 deformable sites (squeeze + 4 decoder
+    blocks x 4 branches; reference: src/birefnet.rs call graph) append
+    their traced max|offset| scalars to, in forward order."""
+    global _OFFSET_STATS
+    prev = _OFFSET_STATS
+    _OFFSET_STATS = stats = []
+    try:
+        yield stats
+    finally:
+        _OFFSET_STATS = prev
 
 # ASPP internal width (reference: src/aspp.rs:243).
 ASPP_INTER_CHANNELS = 256
@@ -50,6 +74,8 @@ def deform_conv_aspp_forward(
         return L.conv2d(params["regular_conv"], x, stride=stride,
                         padding=padding)
     offset = L.conv2d(params["offset_conv"], x, stride=stride, padding=padding)
+    if _OFFSET_STATS is not None:
+        _OFFSET_STATS.append(jnp.max(jnp.abs(offset.astype(jnp.float32))))
     mod_raw = L.conv2d(params["modulator_conv"], x, stride=stride, padding=padding)
     mask = 2.0 * jax.nn.sigmoid(mod_raw.astype(jnp.float32))
     mask = mask.astype(x.dtype)

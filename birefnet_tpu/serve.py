@@ -36,8 +36,15 @@ def main(argv=None) -> int:
     parser.add_argument("--dtype", choices=("float32", "bfloat16"),
                         default="bfloat16")
     parser.add_argument("--deform-mode",
-                        choices=("deformable", "deformable-local", "regular"),
-                        default="deformable")
+                        choices=("deformable", "deformable-local", "regular",
+                                 "auto"),
+                        default="deformable",
+                        help="auto = probe max|offset| on the first batch "
+                        "with exact sampling, then serve deformable-local "
+                        "at the measured radius (calibrate.py)")
+    parser.add_argument("--auto-radius-cap", type=int, default=8,
+                        help="auto mode: fall back to exact sampling when "
+                        "the probed radius exceeds this")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dp", type=int, default=0, metavar="N",
                         help="shard each batch over N data-parallel mesh "
@@ -85,7 +92,8 @@ def main(argv=None) -> int:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         use_flash_attention=on_tpu and "DISABLE_FLASH_ATTN" not in os.environ,
         use_pallas_deform=on_tpu,
-        deform_mode=args.deform_mode,
+        deform_mode=("deformable" if args.deform_mode == "auto"
+                     else args.deform_mode),
         unroll_deep_stage=on_tpu,
     )
     mesh = None
@@ -114,6 +122,26 @@ def main(argv=None) -> int:
 
     print(f"Loading {ckpt} ...")
     params = bt.load_checkpoint(ckpt, cfg)
+
+    if args.deform_mode == "auto":
+        # Probe max|offset| on the first batch with exact sampling, then
+        # serve deformable-local at the measured radius — faithful w.r.t.
+        # the probed data, at MXU-sampling speed (calibrate.py).
+        from birefnet_tpu import calibrate
+        from birefnet_tpu.loader import load_frame
+        probe = [load_frame(p, args.size)[0] for p in paths[:args.batch]]
+        while len(probe) < args.batch:
+            probe.append(np.zeros_like(probe[0]))
+        print("Calibrating deformable offset radius on the first batch ...")
+        compute, maxima, radius = calibrate.auto_deform_compute(
+            params, cfg, jnp.asarray(np.stack(probe)), compute,
+            cap=args.auto_radius_cap)
+        print(f"  per-site max|offset|: max={maxima.max():.2f}px "
+              f"median={np.median(maxima):.2f}px -> "
+              + (f"deformable-local radius {radius}" if radius is not None
+                 else f"exact deformable (probe > cap "
+                      f"{args.auto_radius_cap}px)"))
+
     # Masks come back at model resolution; host resizes per original size.
     # warmup_batch AOT-compiles all units up front so the first batch pays
     # no compile latency.
