@@ -6,7 +6,9 @@ BASELINE.json config: "High-res variant: BiRefNet-HR/matting checkpoints at
 this uses parallel.make_sharded_infer_fn (batch + spatial H sharding); on a
 single chip it measures the unsharded staged path.
 
-Env: BENCH_HR_SIZE (2048), BENCH_HR_BATCH (1), BENCH_DEFORM_MODE (regular).
+Env: BENCH_HR_SIZE (2048), BENCH_HR_BATCH (2), BENCH_DEFORM_MODE (regular).
+Batch default measured round 4 (worker job_005): b2 8.78 img/s device-busy
+vs b1 8.50 — the same b1->b2 pipelining gain as at 1024^2; fits HBM.
 """
 
 import dataclasses
@@ -29,7 +31,7 @@ def main():
     from birefnet_tpu.parallel import mesh as pmesh, sharding as pshard
 
     size = int(os.environ.get("BENCH_HR_SIZE", "2048"))
-    batch = int(os.environ.get("BENCH_HR_BATCH", "1"))
+    batch = int(os.environ.get("BENCH_HR_BATCH", "2"))
     mode = os.environ.get("BENCH_DEFORM_MODE", "regular")
 
     cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(), size=(size, size))
