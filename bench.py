@@ -12,7 +12,9 @@ program), mirroring the reference's bench_inference end-to-end shape
 
 Env overrides: BENCH_BATCH (default 2), BENCH_SIZE (default 1024),
 BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 120),
-BENCH_FLASH / BENCH_PALLAS_DEFORM (default 1 on TPU).
+BENCH_FLASH / BENCH_PALLAS_DEFORM (default 1 on TPU),
+BENCH_DEFORM_MODE (regular|deformable|deformable-local|auto — auto probes
+max|offset| on the bench batch and dispatches the calibrated local kernel).
 """
 
 import json
@@ -80,7 +82,9 @@ def main() -> int:
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
         use_flash_attention=use_flash,
         use_pallas_deform=use_pallas_deform,
-        deform_mode=deform_mode,
+        # "auto" is resolved below (calibrate.py) once the bench frames
+        # exist; the placeholder matches serve.py's --deform-mode auto.
+        deform_mode="deformable" if deform_mode == "auto" else deform_mode,
         unroll_deep_stage=os.environ.get("BENCH_UNROLL", "1") == "1" and on_tpu,
     )
 
@@ -89,6 +93,25 @@ def main() -> int:
           f"pallas_deform={use_pallas_deform} deform_mode={deform_mode}", file=sys.stderr)
 
     params = bt.init_params(cfg, seed=0)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(batch, size, size, 3), dtype=np.uint8))
+
+    resolved_radius = None
+    if deform_mode == "auto":
+        # Runtime offset-radius calibration (calibrate.py): one exact
+        # forward probes max|offset| at all 20 deformable sites, then the
+        # pipeline compiles as deformable-local at ceil(max)+1 — exact for
+        # the probed data, at MXU-sampling speed (serve.py --deform-mode
+        # auto is the serving analog).
+        from birefnet_tpu import calibrate
+        compute, maxima, resolved_radius = calibrate.auto_deform_compute(
+            params, cfg, frames, compute)
+        print(f"[bench] auto deform: probed max|offset|={maxima.max():.2f}px"
+              f" -> {compute.deform_mode}"
+              f" radius={resolved_radius}", file=sys.stderr)
+
     staged = os.environ.get("BENCH_STAGED", "1") == "1"
     if staged:
         # The monolithic 1024^2 program exceeds what this environment's
@@ -98,10 +121,6 @@ def main() -> int:
         infer = staged_mod.make_staged_infer_fn(params, cfg, compute)
     else:
         infer = pipeline.make_infer_fn(params, cfg, compute)
-
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.integers(0, 256, size=(batch, size, size, 3), dtype=np.uint8))
 
     t0 = time.time()
     out = infer(frames)
@@ -149,6 +168,8 @@ def main() -> int:
         # reference behavior; "deformable" (faithful sampling) is slower —
         # see BENCH_DEFORM_MODE and ROADMAP.md.
         "deform_mode": deform_mode,
+        # set when deform_mode=auto resolved to a calibrated local radius
+        "calibrated_radius": resolved_radius,
         "batch": batch,
     }))
     return 0
