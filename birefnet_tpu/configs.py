@@ -170,6 +170,14 @@ class ComputeConfig:
     dtype: jnp.dtype = jnp.float32
     # Use the fused Pallas flash window-attention kernel (N2) when available.
     use_flash_attention: bool = False
+    # Internal tier knob (set by swin_forward's geometry guard, not by
+    # users): with flash on, use the fully-fused strip-reading block
+    # kernel (fused_block_attn — validated at the ws=12 family). When
+    # False, flash demotes to the MIDDLE tier: partitioned windows +
+    # packed-qkv flash attention core + fused MLP (legality- and
+    # accuracy-verified at the ws=7 presets' N=49 geometries on the v5e,
+    # worker job_012/013/017, round 4 — 1.2-1.6x the unfused core).
+    use_fused_block: bool = True
     # RETIRED (round 3, accepted-but-ignored for CLI/API stability): the
     # XLA formulations (deform_conv2d / deform_conv2d_local) are the
     # designated N1 deformable kernels. A compile-safe chunked-tap Pallas

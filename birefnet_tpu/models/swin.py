@@ -108,8 +108,9 @@ def swin_block_forward(
     """One Swin block on NHWC input (reference: src/swin.rs:350-410)."""
     b, h, w, c = x.shape
     shortcut = x
+    fused_block = compute.use_flash_attention and compute.use_fused_block
 
-    if compute.use_flash_attention:
+    if fused_block:
         # Fully-fused path: LN1 + qkv + attention + proj in ONE Pallas
         # kernel reading windows straight from the padded NHWC tensor —
         # no window_partition/reverse relayouts, no qkv/attn HBM
@@ -177,8 +178,8 @@ def swin_block_forward(
         if hp != h or wp != w:
             x = x[:, :h, :w, :]
 
-    if not compute.use_flash_attention:
-        x = shortcut + x  # flash path: residual added inside the kernel
+    if not fused_block:
+        x = shortcut + x  # fused-block path: residual added in the kernel
     if compute.use_flash_attention:
         # Token-local second half of the block fused into one kernel:
         # LN2 + fc1 + erf-GELU + fc2 + residual (the [T, 4C] hidden never
@@ -326,15 +327,25 @@ def swin_forward(
     LayerNorm applied (reference: src/swin.rs:768-797).
     """
     if compute.use_flash_attention and cfg.window_size != 12:
-        # Supported-geometry guard: the fused Pallas kernels are
-        # legality-tested and accuracy-gated only at the ws=12 family the
-        # shipping Swin-L runs (tests/tpu/test_kernel_legality.py).
-        # Measured at ws=7/C=96 (swin_t/s, reference: src/swin.rs:27-52):
-        # the bf16 block kernel fails Mosaic's vector shape-cast on the
-        # in-kernel window split, and the f32 fused-MLP dot loses ~5e-4
-        # rel per block (job_003/004, 2026-08-18). Non-ws-12 presets run
-        # the unfused XLA path, which is exact at every geometry.
-        compute = compute.with_overrides(use_flash_attention=False)
+        # Supported-geometry guard: the fully-fused strip-reading block
+        # kernel is legality-tested and accuracy-gated only at the ws=12
+        # family the shipping Swin-L runs
+        # (tests/tpu/test_kernel_legality.py); at ws=7/C=96 it fails
+        # Mosaic's vector shape-cast on the in-kernel window split
+        # (measured on the v5e, 2026-08-18).
+        if cfg.window_size == 7:
+            # MIDDLE tier for the ws=7 presets (swin_t/s, reference:
+            # src/swin.rs:27-52): partitioned windows + the packed-qkv
+            # flash attention core + the fused MLP kernel — verified on
+            # the v5e at all four swin_t stage geometries (N=49,
+            # C=96/192/384/768): Mosaic-legal, 1.2-1.6x the unfused
+            # attention core, and exact at f32 after the round-4
+            # precision fix (worker job_012/013/017).
+            compute = compute.with_overrides(use_fused_block=False)
+        else:
+            # Unknown window geometry: the unfused XLA path, which is
+            # exact everywhere.
+            compute = compute.with_overrides(use_flash_attention=False)
     x = patch_embed_forward(params["patch_embed"], x, cfg.patch_size, compute)
 
     outs: List[jax.Array] = []

@@ -44,10 +44,16 @@ def _pick_window_block(b_windows: int, n_mask_windows: Optional[int]) -> int:
 
 def _attn_core(q, k, v, s_extra, o_dtype):
     """Shared fused core: [BW, N, d] q/k/v + f32 score addend -> [BW, N, d]."""
+    # f32 operands need precision=HIGHEST: Mosaic's DEFAULT f32 dot is a
+    # single bf16 pass (~1e-2 rel — measured vs a f64 oracle, worker
+    # job_013/014, round 4). bf16 operands are native either way.
+    prec = (jax.lax.Precision.HIGHEST
+            if q.dtype == jnp.float32 else None)
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     s = s + s_extra
 
@@ -62,6 +68,7 @@ def _attn_core(q, k, v, s_extra, o_dtype):
         p.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     return o.astype(o_dtype)
 

@@ -59,6 +59,13 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     wc = wp // ws
     nwin = bw * wc
     tokens = x_ref[0].reshape(bw * ws * wp, c)
+    # Mosaic's DEFAULT precision for f32 dot operands is a single bf16
+    # pass (~1e-2 rel — measured vs a f64 oracle, worker job_014/015,
+    # round 4), NOT full f32; the library's f32 contract is
+    # precision=HIGHEST (ops/layers.py). bf16 operands are native either
+    # way, so gate on dtype to leave the headline path untouched.
+    prec = (jax.lax.Precision.HIGHEST
+            if tokens.dtype == jnp.float32 else None)
 
     # --- LayerNorm (f32 stats; ops/layers.py::layer_norm semantics) ---
     xf = tokens.astype(jnp.float32)
@@ -92,7 +99,8 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     qkv = jax.lax.dot_general(
         h, wqkv_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+                precision=prec)
     qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(h.dtype)
     qkv = qkv.reshape(nwin, n, 3 * c)
 
@@ -122,13 +130,15 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                     jnp.float32)
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) + extra
+                preferred_element_type=jnp.float32,
+                precision=prec) + extra
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             outs.append(jax.lax.dot_general(
                 p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).astype(h.dtype))
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(h.dtype))
     else:
         gd, gn = g * d, g * n
         if mask_ref is not None:
@@ -152,7 +162,8 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                              jnp.zeros((), k.dtype))
             s = jax.lax.dot_general(
                 q, k_bd, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=prec)
             extra = jnp.concatenate(
                 [bias_ref[j * g + hh] for hh in range(g)],
                 axis=-1)[None].astype(jnp.float32)
@@ -165,13 +176,16 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                              jnp.zeros((), v.dtype))
             o = jax.lax.dot_general(
                 p, v_bd, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=prec)
             sums = jax.lax.dot_general(
                 p, ones_bd, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=prec)
             denom = jax.lax.dot_general(
                 sums, ones_exp, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=prec)
             outs.append((o / denom).astype(h.dtype))
     attn = jnp.concatenate(outs, axis=-1).reshape(nwin * n, c)
 
@@ -179,7 +193,8 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     y = jax.lax.dot_general(
         attn, wproj_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+                precision=prec)
     y = (y + bproj_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
     # --- window merge back to the row-strip layout ---

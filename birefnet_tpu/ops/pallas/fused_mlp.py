@@ -64,10 +64,15 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     h = (xf - mean) * jax.lax.rsqrt(var + eps)
     h = h * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
     h = h.astype(x.dtype)
+    # f32 operands need precision=HIGHEST: Mosaic's DEFAULT f32 dot is a
+    # single bf16 pass (~1e-2 rel; worker job_014, round 4). bf16 is
+    # native either way.
+    prec = (jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32 else None)
 
     h1 = jax.lax.dot_general(
         h, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=prec)
     h1 = h1 + b1_ref[...].astype(jnp.float32)
     fast = x.dtype == jnp.bfloat16
     h1 = (h1 * 0.5 * (1.0 + _erf(h1 * (2.0 ** -0.5),
@@ -75,15 +80,21 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
 
     y = jax.lax.dot_general(
         h1, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=prec)
     y = (y + b2_ref[...].astype(jnp.float32)).astype(x.dtype)
     o_ref[...] = x + y
 
 
 def _pick_tile(t: int, c: int, itemsize: int) -> Optional[int]:
     """Token rows per grid step: divisor of T, multiple of 8, hidden
-    activation under ~8MB."""
-    cap = max(8, (8 * 1024 * 1024) // (4 * c * itemsize))
+    activation under a VMEM budget.
+
+    f32 gets half the bf16 budget: its dots run precision=HIGHEST
+    (multi-pass), whose extra scratch pushed the C=1536 f32 geometry
+    132KB over the 114M scoped-VMEM cap at the bf16-sized tile
+    (measured, worker job_018 round 4)."""
+    budget = (8 if itemsize == 2 else 4) * 1024 * 1024
+    cap = max(8, budget // (4 * c * itemsize))
     best = None
     for cand in range(8, min(t, cap, 4096) + 1, 8):
         if t % cand == 0:

@@ -65,18 +65,45 @@ def test_deep_stage_scan_unroll_equivalence():
                                        atol=1e-6, rtol=1e-6)
 
 
-def test_non_ws12_preset_flash_falls_back():
-    """Supported-geometry guard (round-3 verdict item 6): the fused Pallas
-    path is validated only at the ws=12 family; with flash requested on a
-    ws=7 preset the backbone must provably fall back to the unfused path —
-    bitwise-identical outputs (the fused interpret path would differ at
-    ~1e-7)."""
+def test_ws7_preset_flash_runs_middle_tier():
+    """Supported-geometry guard, round-4 tiering: with flash requested on
+    a ws=7 preset the backbone runs the MIDDLE tier (partitioned windows +
+    packed-qkv flash core + fused MLP — the strip-reading block kernel is
+    ws=12-only). The tier must agree with the unfused path at f32
+    roundoff (it is a different fused schedule, so not bitwise)."""
     from birefnet_tpu.configs import ComputeConfig
 
     cfg = SwinConfig.swin_t()
     params = init_swin_params(cfg, seed=6)
     x = jnp.asarray(np.random.default_rng(1)
                     .normal(0, 0.3, (1, 56, 56, 3)).astype(np.float32))
+    base = bswin.swin_forward(params, cfg, x, ComputeConfig())
+    flash = bswin.swin_forward(
+        params, cfg, x, ComputeConfig(use_flash_attention=True))
+    diffs = [np.abs(np.asarray(b) - np.asarray(f)).max()
+             for b, f in zip(base, flash)]
+    # Engagement proof: the tier is a different fused schedule, so SOME
+    # stage must differ at f32 roundoff (early stages can round back to
+    # bitwise equality after the per-stage LN contraction).
+    assert max(diffs) > 0.0, "middle tier did not engage (bitwise equal)"
+    for i, (b, f) in enumerate(zip(base, flash)):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"stage {i}")
+
+
+def test_unknown_ws_flash_falls_back_bitwise():
+    """A window size outside the validated {12 fused, 7 middle-tier}
+    families must provably fall back to the unfused XLA path —
+    bitwise-identical outputs."""
+    import dataclasses as _dc
+
+    from birefnet_tpu.configs import ComputeConfig
+
+    cfg = _dc.replace(SwinConfig.swin_t(), window_size=5)
+    params = init_swin_params(cfg, seed=6)
+    x = jnp.asarray(np.random.default_rng(1)
+                    .normal(0, 0.3, (1, 40, 40, 3)).astype(np.float32))
     base = bswin.swin_forward(params, cfg, x, ComputeConfig())
     flash = bswin.swin_forward(
         params, cfg, x, ComputeConfig(use_flash_attention=True))

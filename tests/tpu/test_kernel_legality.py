@@ -235,10 +235,166 @@ def test_flash_qkv_compiles(b_, heads, masked):
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+N7 = 49  # ws=7 presets (swin_t/s; reference: src/swin.rs:27-52)
+
+
+@requires_tpu
+@pytest.mark.parametrize("b_,c,heads,masked",
+                         [(128, 96, 3, False), (128, 96, 3, True),
+                          (32, 192, 6, True), (8, 384, 12, True),
+                          (2, 768, 24, False)])
+def test_flash_qkv_ws7_compiles(b_, c, heads, masked):
+    """MIDDLE tier (round 4): the packed-qkv kernel at the ws=7 presets'
+    N=49 geometries — Mosaic-legal and parity-checked vs the unfused
+    HIGHEST-precision core (first verified worker job_012/013)."""
+    from birefnet_tpu.ops.pallas import flash_window_attn
+    rng = np.random.default_rng(0)
+    d = c // heads
+    qkv = jnp.asarray(rng.normal(size=(b_, N7, 3 * c)) * 0.3, jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(heads, N7, N7)) * 0.1, jnp.bfloat16)
+    nw = min(b_, 4)
+    mask = (jnp.asarray(rng.integers(0, 2, size=(nw, N7, N7)) * -100.0,
+                        jnp.bfloat16) if masked else None)
+    out = np.asarray(flash_window_attn.flash_window_attention_qkv(
+        qkv, bias, mask, heads, interpret=False), np.float32)
+    assert out.shape == (b_, N7, c) and np.isfinite(out).all()
+    # unfused f32 reference
+    q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
+    def hs(t):
+        return t.reshape(b_, N7, heads, d).transpose(0, 2, 1, 3)
+    qh, kh, vh = map(hs, (q, k, v))
+    s = jnp.einsum("bhnd,bhmd->bhnm", qh * d ** -0.5, kh,
+                   precision=jax.lax.Precision.HIGHEST)
+    s = s + bias.astype(jnp.float32)[None]
+    if mask is not None:
+        s = s.reshape(b_ // nw, nw, heads, N7, N7) \
+            + mask.astype(jnp.float32)[None, :, None]
+        s = s.reshape(b_, heads, N7, N7)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhnm,bhmd->bhnd", p, vh,
+                     precision=jax.lax.Precision.HIGHEST)
+    ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(b_, N7, c))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, f"rel diff {rel}"
+
+
+@requires_tpu
+def test_fused_mlp_ws7_c96_compiles():
+    """MIDDLE tier: the fused MLP at the swin_t stage-0 channel width."""
+    from birefnet_tpu.ops.pallas import fused_mlp
+    from birefnet_tpu.ops import layers as L
+    rng = np.random.default_rng(0)
+    c = 96
+    x = jnp.asarray(rng.normal(size=(1, 56, 56, c)) * 0.1, jnp.bfloat16)
+    n2 = {"scale": jnp.ones((c,), jnp.float32),
+          "bias": jnp.zeros((c,), jnp.float32)}
+    mlp = {"fc1": {"kernel": jnp.asarray(
+                       rng.normal(0, .05, size=(c, 4 * c)), jnp.bfloat16),
+                   "bias": jnp.zeros((4 * c,), jnp.float32)},
+           "fc2": {"kernel": jnp.asarray(
+                       rng.normal(0, .05, size=(4 * c, c)), jnp.bfloat16),
+                   "bias": jnp.zeros((c,), jnp.float32)}}
+    out = fused_mlp.fused_mlp_residual(x, n2, mlp, interpret=False)
+    assert out is not None
+    got = np.asarray(out, np.float32)
+    hn = L.layer_norm(n2, x.astype(jnp.float32))
+    hid = jax.nn.gelu(hn @ mlp["fc1"]["kernel"].astype(jnp.float32)
+                      + mlp["fc1"]["bias"], approximate=False)
+    ref = np.asarray(
+        x.astype(jnp.float32)
+        + hid @ mlp["fc2"]["kernel"].astype(jnp.float32)
+        + mlp["fc2"]["bias"], np.float32)
+    assert np.isfinite(got).all()
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, f"rel diff {rel}"
+
+
+@requires_tpu
+def test_f32_kernel_precision_gate():
+    """f32 PRECISION gate (round 4): Mosaic's DEFAULT f32 dot is a single
+    bf16 pass (~1e-2 rel — worker job_014/015); every kernel dot must pass
+    precision=HIGHEST for f32 operands. This test fails at ~1e-2 if the
+    precision plumbing regresses, and passes at f32 roundoff (~1e-6) with
+    it in place."""
+    from birefnet_tpu.ops.pallas import flash_window_attn, fused_mlp
+    from birefnet_tpu.ops import layers as L
+    rng = np.random.default_rng(0)
+
+    # packed-qkv at the C=96 shape where the defect was first seen
+    b_, c, heads = 32, 96, 3
+    d = c // heads
+    qkv = jnp.asarray(rng.standard_normal((b_, N7, 3 * c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, N7, N7)) * 0.1,
+                       jnp.float32)
+    out = np.asarray(flash_window_attn.flash_window_attention_qkv(
+        qkv, bias, None, heads, interpret=False), np.float64)
+    q, k, v = np.split(np.asarray(qkv, np.float64), 3, axis=-1)
+    def hs(t):
+        return t.reshape(b_, N7, heads, d).transpose(0, 2, 1, 3)
+    qh, kh, vh = map(hs, (q, k, v))
+    s = (qh * d ** -0.5) @ kh.swapaxes(-1, -2) \
+        + np.asarray(bias, np.float64)[None]
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    ref = (p @ vh).transpose(0, 2, 1, 3).reshape(b_, N7, c)
+    err = np.abs(out - ref).max()
+    assert err < 1e-4, f"packed-qkv f32 lost precision: max|err| {err}"
+
+    # fused MLP f32 at C=192
+    c = 192
+    x = jnp.asarray(rng.standard_normal((1, 24, 24, c)) * 0.5, jnp.float32)
+    n2 = {"scale": jnp.ones((c,), jnp.float32),
+          "bias": jnp.zeros((c,), jnp.float32)}
+    mlp = {"fc1": {"kernel": jnp.asarray(
+                       rng.normal(0, .05, size=(c, 4 * c)), jnp.float32),
+                   "bias": jnp.zeros((4 * c,), jnp.float32)},
+           "fc2": {"kernel": jnp.asarray(
+                       rng.normal(0, .05, size=(4 * c, c)), jnp.float32),
+                   "bias": jnp.zeros((c,), jnp.float32)}}
+    got = fused_mlp.fused_mlp_residual(x, n2, mlp, interpret=False)
+    assert got is not None
+    hn = L.layer_norm(n2, x)
+    hid = jax.nn.gelu(
+        jnp.einsum("bhwc,cd->bhwd", hn, mlp["fc1"]["kernel"],
+                   precision=jax.lax.Precision.HIGHEST)
+        + mlp["fc1"]["bias"], approximate=False)
+    ref = x + jnp.einsum("bhwd,dc->bhwc", hid, mlp["fc2"]["kernel"],
+                         precision=jax.lax.Precision.HIGHEST) \
+        + mlp["fc2"]["bias"]
+    err = np.abs(np.asarray(got, np.float64)
+                 - np.asarray(ref, np.float64)).max()
+    assert err < 1e-4, f"fused MLP f32 lost precision: max|err| {err}"
+
+    # fused block kernel f32 at a small ws=12 geometry: flash vs unfused
+    # (pre-fix this diverged at 9.6e-3 — worker job_015/017)
+    from birefnet_tpu.configs import ComputeConfig
+    from birefnet_tpu.models import swin as bswin
+    c, heads = 192, 6
+    n = 144
+    def rp(*shape):
+        return jnp.asarray(rng.normal(0, .05, size=shape), jnp.float32)
+    bp = {"norm1": {"scale": 1.0 + rp(c), "bias": rp(c)},
+          "norm2": {"scale": 1.0 + rp(c), "bias": rp(c)},
+          "attn": {"qkv": {"kernel": rp(c, 3 * c), "bias": rp(3 * c)},
+                   "proj": {"kernel": rp(c, c), "bias": rp(c)},
+                   "cached_bias": rp(heads, n, n)},
+          "mlp": {"fc1": {"kernel": rp(c, 4 * c), "bias": rp(4 * c)},
+                  "fc2": {"kernel": rp(4 * c, c), "bias": rp(c)}}}
+    xb = jnp.asarray(rng.standard_normal((2, 24, 24, c)) * 0.5, jnp.float32)
+    of = bswin.swin_block_forward(bp, xb, 12, 0, heads, None,
+                                  ComputeConfig(use_flash_attention=True))
+    op = bswin.swin_block_forward(bp, xb, 12, 0, heads, None,
+                                  ComputeConfig())
+    err = np.abs(np.asarray(of, np.float64)
+                 - np.asarray(op, np.float64)).max()
+    assert err < 1e-4, f"fused block f32 lost precision: max|err| {err}"
+
+
 @requires_tpu
 @pytest.mark.parametrize("h,c", [(256, 192), (128, 384), (64, 768),
                                  (32, 1536), (128, 192), (64, 384),
-                                 (32, 768), (16, 1536)])
+                                 (32, 768), (16, 1536),
+                                 (56, 96)])  # swin_t s0 (middle tier)
 def test_row_ln_compiles(h, c):
     """Compile + execute the Pallas row-LN (stage-output norms,
     models/swin.py) at every full/half-scale stage geometry."""
@@ -257,11 +413,12 @@ def test_row_ln_compiles(h, c):
 
 @requires_tpu
 def test_swin_t_ws7_runs_on_tpu_with_flash_requested():
-    """A non-L preset (ws=7) with flash REQUESTED must run on the TPU —
-    via the supported-geometry fallback in swin_forward, since the fused
-    kernels are not legal/exact at ws=7 (measured: bf16 block kernel fails
-    Mosaic shape-cast on the window-split reshape; f32 fused-MLP dot loses
-    ~5e-4 rel at C=96 — jobs 003/004, 2026-08-18). Round-3 verdict item 6."""
+    """A non-L preset (ws=7) with flash REQUESTED must run on the TPU.
+    Round 4: this now exercises the MIDDLE tier (partitioned windows +
+    packed-qkv flash core + fused MLP — swin_forward's geometry guard;
+    the strip-reading block kernel stays ws=12-only, its ws=7 Mosaic
+    shape-cast failure measured 2026-08-18). Parity vs the unfused f32
+    path is asserted per stage."""
     import sys
     import os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
