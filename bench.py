@@ -11,7 +11,7 @@ program), mirroring the reference's bench_inference end-to-end shape
 (reference: examples/bench_inference.rs) but with device-side pre/post.
 
 Env overrides: BENCH_BATCH (default 2), BENCH_SIZE (default 1024),
-BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 120),
+BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 360),
 BENCH_FLASH / BENCH_PALLAS_DEFORM (default 1 on TPU),
 BENCH_DEFORM_MODE (regular|deformable|deformable-local|auto — auto probes
 max|offset| on the bench batch and dispatches the calibrated local kernel).
@@ -50,8 +50,9 @@ def main() -> int:
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     # In-flight width: the single fence's ~28 ms tunnel round trip amortizes
     # over the queue (measured: n=40 -> 37.19, n=80 -> 37.43, n=120 ->
-    # 37.56 img/s at 37.79 device-busy; round 3c).
-    iters = int(os.environ.get("BENCH_ITERS", "120"))
+    # 37.56 img/s, round 3c; n=240 -> 37.66, n=360 -> 37.69 at 37.79
+    # device-busy, round-4 worker job_022 — ~76 s/measured run at 360).
+    iters = int(os.environ.get("BENCH_ITERS", "360"))
 
     import jax
     _ensure_tpu_or_reexec()
