@@ -27,6 +27,16 @@ import jax.numpy as jnp
 
 from .configs import BiRefNetConfig, ComputeConfig
 
+# Forward-order names of the 20 deformable sites (the probe's output
+# order and ComputeConfig.deform_site_radii's index space): squeeze's 4
+# ASPP branches, then decoder_block4..1 x 4 branches each. Branch order
+# within an ASPP: aspp1 (k=1), aspp_deforms k=1, k=3, k=7
+# (reference: src/aspp.rs:243-244,303-332 branch construction).
+SITE_NAMES = tuple(
+    f"{blk}.{br}"
+    for blk in ("squeeze", "dec4", "dec3", "dec2", "dec1")
+    for br in ("aspp1", "deform_k1", "deform_k3", "deform_k7"))
+
 
 def probe_offset_maxima(
     params,
@@ -120,6 +130,28 @@ def calibrated_radius(
     return None if r > cap else r
 
 
+def calibrated_site_radii(
+    maxima: np.ndarray, safety: int = 1, cap: int = 8
+) -> Tuple[Optional[int], ...]:
+    """Per-site radii from the probed per-site maxima.
+
+    Each site gets its OWN ceil(max)+safety radius — the probe already
+    measures all 20 sites individually, and the local kernel's cost grows
+    ~quadratically with R (source window S = (t + ext + 2R + 3)^2), so a
+    site that probed at 0.4 px should not pay the radius of a site that
+    probed at 6. A site whose radius would exceed `cap` gets None: THAT
+    site alone falls back to exact sampling (a huge radius makes the
+    local kernel slower than the exact gather path there), instead of
+    dragging the whole model to the exact path the way a single global
+    radius would.
+    """
+    radii = []
+    for m in np.asarray(maxima, np.float32):
+        r = max(int(np.ceil(float(m))) + safety, 1)
+        radii.append(None if r > cap else r)
+    return tuple(radii)
+
+
 def auto_deform_compute(
     params,
     cfg: BiRefNetConfig,
@@ -127,15 +159,28 @@ def auto_deform_compute(
     compute: ComputeConfig,
     safety: int = 1,
     cap: int = 8,
-) -> Tuple[ComputeConfig, np.ndarray, Optional[int]]:
+) -> Tuple[ComputeConfig, np.ndarray, Optional[Tuple[Optional[int], ...]]]:
     """deform_mode="auto" resolution: probe, then pick the serving mode.
 
-    Returns (resolved_compute, per-site maxima, radius-or-None)."""
+    Dispatch is PER SITE: each of the 20 deformable sites runs
+    deformable-local at its own calibrated radius, and sites whose probed
+    offsets exceed `cap` keep exact sampling individually (None entries).
+    Only when EVERY site exceeds the cap does the whole model resolve to
+    plain "deformable".
+
+    Returns (resolved_compute, per-site maxima [20], per-site radii tuple
+    or None when all-exact). The resolved compute's deform_local_radius
+    is set to the largest per-site radius (the fallback for any
+    deformable call reached outside the numbered model graph).
+    """
     maxima = probe_offset_maxima(params, cfg, frames_u8, compute)
-    radius = calibrated_radius(maxima, safety=safety, cap=cap)
-    if radius is None:
-        resolved = compute.with_overrides(deform_mode="deformable")
-    else:
-        resolved = compute.with_overrides(deform_mode="deformable-local",
-                                          deform_local_radius=radius)
-    return resolved, maxima, radius
+    radii = calibrated_site_radii(maxima, safety=safety, cap=cap)
+    live = [r for r in radii if r is not None]
+    if not live:
+        resolved = compute.with_overrides(deform_mode="deformable",
+                                          deform_site_radii=None)
+        return resolved, maxima, None
+    resolved = compute.with_overrides(deform_mode="deformable-local",
+                                      deform_site_radii=radii,
+                                      deform_local_radius=max(live))
+    return resolved, maxima, radii

@@ -8,7 +8,7 @@ as frozen dataclasses with the same presets and derived channel math.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -170,8 +170,10 @@ class ComputeConfig:
     dtype: jnp.dtype = jnp.float32
     # Use the fused Pallas flash window-attention kernel (N2) when available.
     use_flash_attention: bool = False
-    # Internal tier knob (set by swin_forward's geometry guard, not by
-    # users): with flash on, use the fully-fused strip-reading block
+    # Internal tier knob (set by the geometry guard — applied in
+    # swin_forward AND restated per-block in swin_block_forward so direct
+    # block calls are covered — not by users): with flash on, use the
+    # fully-fused strip-reading block
     # kernel (fused_block_attn — validated at the ws=12 family). When
     # False, flash demotes to the MIDDLE tier: partitioned windows +
     # packed-qkv flash attention core + fused MLP (legality- and
@@ -202,6 +204,28 @@ class ComputeConfig:
     deform_mode: str = "deformable"
     # Offset clamp radius (px) for deform_mode="deformable-local".
     deform_local_radius: int = 4
+    # Per-site radii for deform_mode="deformable-local": one entry per
+    # deformable site of the BiRefNet graph in forward order (squeeze's 4
+    # ASPP branches, then decoder_block4..1 x 4 branches each = 20 for the
+    # Swin-L graph — the same order as calibrate.probe_offset_maxima).
+    # An int entry dispatches deform_conv2d_local at that site's own
+    # radius; a None entry keeps EXACT sampling (deform_conv2d) at that
+    # site alone — so one large-offset site no longer drags the whole
+    # model to a big radius or to the slow exact path. When None (the
+    # default) every site uses the global deform_local_radius. Sites
+    # reached without a site index (direct unit calls outside the full
+    # model graph) also use the global radius.
+    deform_site_radii: Optional[Tuple[Optional[int], ...]] = None
+    # Selective W8A8 int8 quantization of the fused MLP kernel at the
+    # wide-channel stages (C >= params.INT8_MLP_MIN_CHANNELS, i.e. Swin-L
+    # stages 2/3 — 18+2 blocks x 2 backbone passes). Round-3d measured the
+    # int8 kernel 0.78x/0.85x at stages 0/1 (the per-token quantize passes
+    # are VPU work that swamps the MXU saving at small C) but 1.12x/1.40x
+    # at stages 2/3, so the quantized path ships ONLY there (round-5
+    # verdict item 2). OFF by default: it trades accuracy (int8 grid) for
+    # throughput and must stay inside the BASELINE.md mask-MAE < 1e-3 gate
+    # (measured — see PARITY.md accuracy table).
+    int8_mlp: bool = False
     # Unroll the 18-block backbone stage instead of lax.scan over block
     # pairs. Measured 1.03-1.17x device time (XLA optimizes across block
     # boundaries) at ~65s extra one-time compile; keep False where compile

@@ -60,14 +60,31 @@ def deform_conv_aspp_forward(
     padding: int,
     compute: ComputeConfig,
     stride: int = 1,
+    site: int | None = None,
 ) -> jax.Array:
     """Modulated deformable conv (reference: src/aspp.rs:169-186).
 
     offset_conv / modulator_conv are regular convs; the modulator is
     2*sigmoid(x) (reference: src/aspp.rs:173-174); regular_conv supplies the
     (bias-free) sampling weights (reference: src/aspp.rs:44-45).
+
+    `site`: this call's index in the model's forward-order deformable-site
+    numbering (configs.ComputeConfig.deform_site_radii). With per-site
+    radii configured, a site dispatches the local kernel at its OWN
+    calibrated radius, and a site whose probed offsets exceeded the cap
+    (radius entry None) falls back to exact sampling alone — trace-time
+    dispatch, no runtime branching.
     """
-    if compute.deform_mode == "regular":
+    mode = compute.deform_mode
+    radius = compute.deform_local_radius
+    if (mode == "deformable-local" and compute.deform_site_radii is not None
+            and site is not None):
+        site_radius = compute.deform_site_radii[site]
+        if site_radius is None:
+            mode = "deformable"  # per-site exact fallback, this site only
+        else:
+            radius = site_radius
+    if mode == "regular":
         # candle-CPU-compat: the reference computes offsets/modulator then
         # discards them on CPU (reference: src/aspp.rs:183-185); skipping
         # them entirely is numerically identical.
@@ -82,14 +99,14 @@ def deform_conv_aspp_forward(
 
     weight = params["regular_conv"]["kernel"].astype(x.dtype)
     bias = params["regular_conv"].get("bias")
-    if compute.deform_mode == "deformable-local" and stride == 1:
+    if mode == "deformable-local" and stride == 1:
         from ..ops.deform_conv import deform_conv2d_local
         # Measured (round 2, v5e): k=7's big halo'd windows favor small
         # tiles (8), k<=3 favors 16 — 8.1x over the exact gather path at
         # the 256^2 k7 site.
         return deform_conv2d_local(
             x, offset, mask, weight, bias=bias, padding=padding,
-            radius=compute.deform_local_radius,
+            radius=radius,
             tile=8 if kernel_size >= 7 else 16)
     # N1 resolution (round 3): the XLA formulations ARE the designated
     # deformable kernels. A chunked-tap Pallas kernel (sel built in VMEM,
@@ -105,30 +122,39 @@ def deform_conv_aspp_forward(
 def aspp_module_deformable_forward(
     params, x: jax.Array, kernel_size: int, padding: int,
     compute: ComputeConfig,
+    site: int | None = None,
 ) -> jax.Array:
     """DeformConv -> BN(eval) -> ReLU (reference: src/aspp.rs:217-223)."""
     x = deform_conv_aspp_forward(
-        params["atrous_conv"], x, kernel_size, padding, compute)
+        params["atrous_conv"], x, kernel_size, padding, compute, site=site)
     x = L.batch_norm_inference(params["bn"], x)
     return L.relu(x)
 
 
 def aspp_deformable_forward(
-    params, x: jax.Array, compute: ComputeConfig
+    params, x: jax.Array, compute: ComputeConfig,
+    site_base: int | None = None,
 ) -> jax.Array:
     """5-branch deformable ASPP (reference: src/aspp.rs:303-332).
 
     Branch order for the concat: aspp1, aspp_deforms[0..2], global_avg_pool
     (reference: src/aspp.rs:320-327).
+
+    `site_base`: forward-order index of this ASPP's FIRST deformable site
+    (its 4 branches occupy site_base .. site_base+3, in branch order) —
+    see ComputeConfig.deform_site_radii.
     """
     b, h, w, c = x.shape
-    x1 = aspp_module_deformable_forward(params["aspp1"], x, 1, 0, compute)
+    st = lambda i: None if site_base is None else site_base + i
+    x1 = aspp_module_deformable_forward(params["aspp1"], x, 1, 0, compute,
+                                        site=st(0))
 
     branches = [x1]
     for i, k in enumerate(ASPP_DEFORM_KERNELS):
         branches.append(
             aspp_module_deformable_forward(
-                params[f"aspp_deforms_{i}"], x, k, k // 2, compute))
+                params[f"aspp_deforms_{i}"], x, k, k // 2, compute,
+                site=st(1 + i)))
 
     # Global average pool branch (reference: src/aspp.rs:313-318):
     # mean over H,W -> 1x1 conv (no bias) -> BN -> ReLU -> nearest upsample

@@ -26,10 +26,15 @@ from .swin import swin_forward
 
 def squeeze_module_forward(params, x: jax.Array, compute: ComputeConfig) -> jax.Array:
     """Vec of BasicDecBlk; Swin-L config has one 5760->3072 block
-    (reference: src/birefnet.rs:86-94)."""
+    (reference: src/birefnet.rs:86-94).
+
+    Deformable-site numbering: squeeze block i's ASPP holds sites
+    4i..4i+3 (one block -> sites 0-3 for Swin-L); the decoder blocks
+    continue at 4 (see decoder.decoder_forward)."""
     i = 0
     while f"blocks_{i}" in params:
-        x = basic_dec_blk_forward(params[f"blocks_{i}"], x, compute)
+        x = basic_dec_blk_forward(params[f"blocks_{i}"], x, compute,
+                                  deform_site_base=4 * i)
         i += 1
     return x
 

@@ -37,6 +37,7 @@ def basic_dec_blk_forward(
     params, x, compute: ComputeConfig,
     use_aspp_deformable: bool = True,
     return_pre_out: bool = False,
+    deform_site_base: int | None = None,
 ) -> jax.Array:
     """conv_in -> BN -> ReLU -> [ASPPDeformable] -> conv_out -> BN, no final
     ReLU (reference: src/decoder.rs:126-141).
@@ -46,6 +47,8 @@ def basic_dec_blk_forward(
     materialization — see ops.layers.conv2d_concat).
     `return_pre_out` stops before conv_out/bn_out (used by the final-head
     fold, which absorbs them into a 1-channel conv).
+    `deform_site_base`: forward-order index of this block's ASPP's first
+    deformable site (ComputeConfig.deform_site_radii numbering).
     """
     if isinstance(x, (list, tuple)):
         x = L.conv2d_concat(params["conv_in"], list(x), padding=1)
@@ -54,7 +57,8 @@ def basic_dec_blk_forward(
     x = L.batch_norm_inference(params["bn_in"], x)
     x = L.relu(x)
     if use_aspp_deformable:
-        x = aspp_deformable_forward(params["dec_att"], x, compute)
+        x = aspp_deformable_forward(params["dec_att"], x, compute,
+                                    site_base=deform_site_base)
     if return_pre_out:
         return x
     x = L.conv2d(params["conv_out"], x, padding=1)
@@ -301,9 +305,13 @@ def decoder_forward(
         return p * attn
 
     # Stage 4 (reference: src/birefnet.rs:322-334).
+    # Deformable-site numbering (ComputeConfig.deform_site_radii): the
+    # squeeze module holds sites 0-3, so decoder_block4..1 hold
+    # 4-7 / 8-11 / 12-15 / 16-19 — the forward order that
+    # calibrate.probe_offset_maxima records.
     p4 = basic_dec_blk_forward(
         params["decoder_block4"], [x4, ipt5], compute,
-        cfg.use_aspp_deformable)
+        cfg.use_aspp_deformable, deform_site_base=4)
     p4 = gdt_gate(p4, "4")
     p3_in = (resize_bilinear_align_corners(p4, h3, w3)
              + basic_lat_blk_forward(params["lateral_block4"], x3))
@@ -312,7 +320,7 @@ def decoder_forward(
     ipt4_up = resize_bilinear_align_corners(ipt4, h3, w3)
     p3 = basic_dec_blk_forward(
         params["decoder_block3"], [p3_in, ipt4_up], compute,
-        cfg.use_aspp_deformable)
+        cfg.use_aspp_deformable, deform_site_base=8)
     p3 = gdt_gate(p3, "3")
     p2_in = (resize_bilinear_align_corners(p3, h2, w2)
              + basic_lat_blk_forward(params["lateral_block3"], x2))
@@ -321,7 +329,7 @@ def decoder_forward(
     ipt3_up = resize_bilinear_align_corners(ipt3, h2, w2)
     p2 = basic_dec_blk_forward(
         params["decoder_block2"], [p2_in, ipt3_up], compute,
-        cfg.use_aspp_deformable)
+        cfg.use_aspp_deformable, deform_site_base=12)
     p2 = gdt_gate(p2, "2")
     p1_in = (resize_bilinear_align_corners(p2, h1, w1)
              + basic_lat_blk_forward(params["lateral_block2"], x1))
@@ -331,7 +339,7 @@ def decoder_forward(
     ipt2_up = resize_bilinear_align_corners(ipt2, h1, w1)
     p1_feat = basic_dec_blk_forward(
         params["decoder_block1"], [p1_in, ipt2_up], compute,
-        cfg.use_aspp_deformable, return_pre_out=True)
+        cfg.use_aspp_deformable, return_pre_out=True, deform_site_base=16)
 
     # Final head (reference: src/birefnet.rs:371-375):
     # conv_out1 is a 1x1 conv over concat(p1_up, ipt1_up). It is EXACTLY

@@ -108,6 +108,16 @@ def swin_block_forward(
     """One Swin block on NHWC input (reference: src/swin.rs:350-410)."""
     b, h, w, c = x.shape
     shortcut = x
+    if compute.use_flash_attention and window_size != 12:
+        # Geometry guard, restated at block level so DIRECT callers (tests,
+        # partial pipelines) are covered too — swin_forward applies the same
+        # tiering once per backbone: the fully-fused strip kernel is
+        # legality-verified only at the ws=12 family; ws=7 runs the middle
+        # tier (packed-qkv flash + fused MLP), anything else unfused.
+        if window_size == 7:
+            compute = compute.with_overrides(use_fused_block=False)
+        else:
+            compute = compute.with_overrides(use_flash_attention=False)
     fused_block = compute.use_flash_attention and compute.use_fused_block
 
     if fused_block:

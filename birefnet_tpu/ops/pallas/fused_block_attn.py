@@ -100,7 +100,7 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         h, wqkv_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-                precision=prec)
+        precision=prec)
     qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(h.dtype)
     qkv = qkv.reshape(nwin, n, 3 * c)
 
@@ -194,7 +194,7 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         attn, wproj_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-                precision=prec)
+        precision=prec)
     y = (y + bproj_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
     # --- window merge back to the row-strip layout ---

@@ -85,6 +85,48 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     o_ref[...] = x + y
 
 
+def _quantize_rows(h):
+    """Per-token symmetric int8 quantization of an f32 [t, C] tile.
+
+    Returns (int8 values, f32 [t, 1] dequant scale). Symmetric
+    round-to-nearest over [-127, 127]; the tiny floor keeps all-zero rows
+    finite."""
+    a = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    scale = jnp.maximum(a, 1e-30) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(h * (1.0 / scale)), -127.0, 127.0)
+    return q.astype(jnp.int8), scale
+
+
+def _kernel_i8(x_ref, g_ref, b_ref, w1q_ref, s1_ref, b1_ref, w2q_ref,
+               s2_ref, b2_ref, o_ref, *, eps):
+    """W8A8 variant: LN f32 -> per-token int8 activations x
+    per-output-channel int8 weights -> i32 MXU dots, dequant + bias +
+    GELU at f32 (the selective ComputeConfig.int8_mlp path; weights are
+    pre-quantized once in params.quantize_mlp_int8)."""
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps)
+    h = h * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+
+    q, sx = _quantize_rows(h)
+    acc = jax.lax.dot_general(
+        q, w1q_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    h1 = acc.astype(jnp.float32) * (sx * s1_ref[...].astype(jnp.float32))
+    h1 = h1 + b1_ref[...].astype(jnp.float32)
+    h1 = h1 * 0.5 * (1.0 + _erf(h1 * (2.0 ** -0.5), fast=True))
+
+    q2, sx2 = _quantize_rows(h1)
+    acc2 = jax.lax.dot_general(
+        q2, w2q_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc2.astype(jnp.float32) * (sx2 * s2_ref[...].astype(jnp.float32))
+    y = (y + b2_ref[...].astype(jnp.float32)).astype(x.dtype)
+    o_ref[...] = x + y
+
+
 def _pick_tile(t: int, c: int, itemsize: int) -> Optional[int]:
     """Token rows per grid step: divisor of T, multiple of 8, hidden
     activation under a VMEM budget.
@@ -122,6 +164,28 @@ def _fused(x2d, ln_g, ln_b, w1, b1, w2, b2, interpret=False):
     )(x2d, ln_g, ln_b, w1, b1, w2, b2)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_i8(x2d, ln_g, ln_b, w1q, s1, b1, w2q, s2, b2, interpret=False):
+    t, c = x2d.shape
+    # The int8 body holds the [tt, 4C] accumulator at i32 AND its f32
+    # dequant, so the token tile budgets as if 4-byte elements.
+    tt = _pick_tile(t, c, 4)
+    spec = pl.BlockSpec((tt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_i8, eps=1e-5),
+        out_shape=jax.ShapeDtypeStruct((t, c), x2d.dtype),
+        grid=(t // tt,),
+        in_specs=[spec] + [full] * 8,
+        out_specs=spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=tuning.vmem_limit_bytes(),
+        ),
+        interpret=interpret,
+    )(x2d, ln_g, ln_b, w1q, s1, b1, w2q, s2, b2)
+
+
 def fused_mlp_residual(
     x: jax.Array,
     norm2_params,
@@ -132,6 +196,10 @@ def fused_mlp_residual(
 
     Falls back to None-signal (returns None) when no legal token tile
     exists; the caller then uses the unfused path.
+
+    Blocks whose mlp params carry `kernel_q8`/`scale_q8` (added by
+    params.quantize_mlp_int8 under ComputeConfig.int8_mlp) run the W8A8
+    kernel instead — same fusion structure, int8 MXU dots.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -140,13 +208,23 @@ def fused_mlp_residual(
     t = 1
     for s in shape[:-1]:
         t *= s
-    if _pick_tile(t, c, x.dtype.itemsize) is None:
+    int8 = "kernel_q8" in mlp_params["fc1"]
+    if _pick_tile(t, c, 4 if int8 else x.dtype.itemsize) is None:
         return None
-    out = _fused(
-        x.reshape(t, c), norm2_params["scale"], norm2_params["bias"],
-        mlp_params["fc1"]["kernel"].astype(x.dtype),
-        mlp_params["fc1"]["bias"],
-        mlp_params["fc2"]["kernel"].astype(x.dtype),
-        mlp_params["fc2"]["bias"],
-        interpret=interpret)
+    if int8:
+        out = _fused_i8(
+            x.reshape(t, c), norm2_params["scale"], norm2_params["bias"],
+            mlp_params["fc1"]["kernel_q8"], mlp_params["fc1"]["scale_q8"],
+            mlp_params["fc1"]["bias"],
+            mlp_params["fc2"]["kernel_q8"], mlp_params["fc2"]["scale_q8"],
+            mlp_params["fc2"]["bias"],
+            interpret=interpret)
+    else:
+        out = _fused(
+            x.reshape(t, c), norm2_params["scale"], norm2_params["bias"],
+            mlp_params["fc1"]["kernel"].astype(x.dtype),
+            mlp_params["fc1"]["bias"],
+            mlp_params["fc2"]["kernel"].astype(x.dtype),
+            mlp_params["fc2"]["bias"],
+            interpret=interpret)
     return out.reshape(shape)

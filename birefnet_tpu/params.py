@@ -25,6 +25,7 @@ from typing import Dict, List, Mapping, Tuple
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from .configs import BiRefNetConfig, SwinConfig
 from .ops.window import relative_position_index
@@ -433,5 +434,51 @@ def cast_matmul_weights(params, dtype):
                         walk(v))
                     for k, v in tree.items()}
         return tree
+
+    return walk(params)
+
+
+# Channel threshold for the selective int8 MLP path
+# (ComputeConfig.int8_mlp): the W8A8 kernel wins only where C is wide
+# enough for the halved MXU passes to beat the per-token quantize VPU
+# cost — measured 1.12x/1.40x at Swin-L stages 2/3 (C=768/1536) but
+# 0.78x/0.85x at stages 0/1 (ROADMAP round 3d / round 5).
+INT8_MLP_MIN_CHANNELS = 768
+
+
+def quantize_mlp_int8(params, min_channels: int = INT8_MLP_MIN_CHANNELS):
+    """Add per-output-channel int8 weights to the wide Swin MLP blocks.
+
+    For every backbone block's mlp whose input width C >= min_channels,
+    fc1/fc2 gain `kernel_q8` (int8, symmetric round-to-nearest) and
+    `scale_q8` (f32 [out], dequant = q * scale) — computed ONCE here from
+    the f32 master kernels so the per-call graph never re-quantizes
+    weights (only activations, inside the kernel). The original `kernel`
+    leaves stay (the unfused / non-int8 paths still read them);
+    ops/pallas/fused_mlp.py dispatches on the presence of `kernel_q8`.
+    """
+
+    def quant_cols(w):
+        w = jnp.asarray(w, jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-30) / 127.0
+        q = jnp.clip(jnp.round(w / scale), -127.0, 127.0).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if (k == "mlp" and isinstance(v, dict)
+                    and "fc1" in v and "fc2" in v
+                    and v["fc1"]["kernel"].shape[0] >= min_channels):
+                new = {}
+                for fc in ("fc1", "fc2"):
+                    q, s = quant_cols(v[fc]["kernel"])
+                    new[fc] = dict(v[fc], kernel_q8=q, scale_q8=s)
+                out[k] = new
+            else:
+                out[k] = walk(v)
+        return out
 
     return walk(params)

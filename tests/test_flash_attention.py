@@ -195,3 +195,64 @@ def test_fused_nhwc_block_matches_unfused(rng, shift, hw, heads, c):
         params, x, ws, shift, heads, attn_mask,
         ComputeConfig(use_flash_attention=True)), np.float32)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_int8_mlp_kernel_matches_f32_reference(rng):
+    """W8A8 fused MLP (ComputeConfig.int8_mlp): the interpret-mode kernel
+    must match the f32 MLP at the expected int8 quantization scale
+    (per-token activation x per-column weight symmetric int8: ~1-2e-2
+    rel, the round-3d measured error band)."""
+    from birefnet_tpu.ops.pallas import fused_mlp
+    from birefnet_tpu.params import quantize_mlp_int8
+    from birefnet_tpu.ops import layers as L
+
+    c = 768
+    x = jnp.asarray(_rand(rng, (64, c))).astype(jnp.bfloat16)
+    n2 = {"scale": jnp.asarray(1 + 0.1 * _rand(rng, (c,))),
+          "bias": jnp.asarray(0.1 * _rand(rng, (c,)))}
+    mlp = {"fc1": {"kernel": jnp.asarray(0.05 * _rand(rng, (c, 4 * c))),
+                   "bias": jnp.asarray(0.05 * _rand(rng, (4 * c,)))},
+           "fc2": {"kernel": jnp.asarray(0.05 * _rand(rng, (4 * c, c))),
+                   "bias": jnp.asarray(0.05 * _rand(rng, (c,)))}}
+    qmlp = quantize_mlp_int8({"mlp": mlp})["mlp"]
+    assert qmlp["fc1"]["kernel_q8"].dtype == jnp.int8
+    assert qmlp["fc2"]["scale_q8"].shape == (c,)
+    out = fused_mlp.fused_mlp_residual(x, n2, qmlp)
+    got = np.asarray(out, np.float32)
+
+    hn = L.layer_norm(n2, x.astype(jnp.float32))
+    hid = jax.nn.gelu(hn @ mlp["fc1"]["kernel"] + mlp["fc1"]["bias"],
+                      approximate=False)
+    ref = np.asarray(x.astype(jnp.float32) + hid @ mlp["fc2"]["kernel"]
+                     + mlp["fc2"]["bias"], np.float32)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 5e-2, rel
+    # and it must really differ from the bf16 kernel (int8 engaged)
+    bf16 = np.asarray(fused_mlp.fused_mlp_residual(x, n2, mlp), np.float32)
+    assert np.abs(got - bf16).max() > 0.0
+
+
+def test_int8_mlp_quantization_is_selective():
+    """params.quantize_mlp_int8 must touch ONLY the wide-stage MLPs
+    (C >= INT8_MLP_MIN_CHANNELS = stages 2/3): the narrow stages measured
+    0.78x/0.85x for the int8 kernel (ROADMAP round 3d) and keep bf16."""
+    from birefnet_tpu.params import quantize_mlp_int8
+
+    def mk(c):
+        return {"fc1": {"kernel": jnp.zeros((c, 4 * c)),
+                        "bias": jnp.zeros((4 * c,))},
+                "fc2": {"kernel": jnp.zeros((4 * c, c)),
+                        "bias": jnp.zeros((c,))}}
+
+    tree = {"layers_0": {"blocks_0": {"mlp": mk(192)}},
+            "layers_1": {"blocks_0": {"mlp": mk(384)}},
+            "layers_2": {"blocks_0": {"mlp": mk(768)}},
+            "layers_3": {"blocks_0": {"mlp": mk(1536)}}}
+    q = quantize_mlp_int8(tree)
+    assert "kernel_q8" not in q["layers_0"]["blocks_0"]["mlp"]["fc1"]
+    assert "kernel_q8" not in q["layers_1"]["blocks_0"]["mlp"]["fc1"]
+    assert "kernel_q8" in q["layers_2"]["blocks_0"]["mlp"]["fc1"]
+    assert "kernel_q8" in q["layers_3"]["blocks_0"]["mlp"]["fc2"]
+    # original kernels stay (unfused / probe paths still read them)
+    assert q["layers_2"]["blocks_0"]["mlp"]["fc1"]["kernel"].shape == \
+        (768, 3072)

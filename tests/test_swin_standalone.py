@@ -65,27 +65,41 @@ def test_deep_stage_scan_unroll_equivalence():
                                        atol=1e-6, rtol=1e-6)
 
 
-def test_ws7_preset_flash_runs_middle_tier():
+def test_ws7_preset_flash_runs_middle_tier(monkeypatch):
     """Supported-geometry guard, round-4 tiering: with flash requested on
     a ws=7 preset the backbone runs the MIDDLE tier (partitioned windows +
     packed-qkv flash core + fused MLP — the strip-reading block kernel is
-    ws=12-only). The tier must agree with the unfused path at f32
-    roundoff (it is a different fused schedule, so not bitwise)."""
+    ws=12-only). Engagement is asserted STRUCTURALLY (both middle-tier
+    kernels invoked; a roundoff-diff assert would be platform-fragile),
+    and the tier must agree with the unfused path at f32 roundoff."""
     from birefnet_tpu.configs import ComputeConfig
+    from birefnet_tpu.ops.pallas import flash_window_attn, fused_mlp
 
     cfg = SwinConfig.swin_t()
     params = init_swin_params(cfg, seed=6)
     x = jnp.asarray(np.random.default_rng(1)
                     .normal(0, 0.3, (1, 56, 56, 3)).astype(np.float32))
     base = bswin.swin_forward(params, cfg, x, ComputeConfig())
+
+    calls = {"flash_qkv": 0, "fused_mlp": 0}
+    orig_flash = flash_window_attn.flash_window_attention_qkv
+    orig_mlp = fused_mlp.fused_mlp_residual
+
+    def spy_flash(*a, **k):
+        calls["flash_qkv"] += 1
+        return orig_flash(*a, **k)
+
+    def spy_mlp(*a, **k):
+        calls["fused_mlp"] += 1
+        return orig_mlp(*a, **k)
+
+    monkeypatch.setattr(flash_window_attn, "flash_window_attention_qkv",
+                        spy_flash)
+    monkeypatch.setattr(fused_mlp, "fused_mlp_residual", spy_mlp)
     flash = bswin.swin_forward(
         params, cfg, x, ComputeConfig(use_flash_attention=True))
-    diffs = [np.abs(np.asarray(b) - np.asarray(f)).max()
-             for b, f in zip(base, flash)]
-    # Engagement proof: the tier is a different fused schedule, so SOME
-    # stage must differ at f32 roundoff (early stages can round back to
-    # bitwise equality after the per-stage LN contraction).
-    assert max(diffs) > 0.0, "middle tier did not engage (bitwise equal)"
+    assert calls["flash_qkv"] > 0, "packed-qkv flash core did not engage"
+    assert calls["fused_mlp"] > 0, "fused MLP kernel did not engage"
     for i, (b, f) in enumerate(zip(base, flash)):
         np.testing.assert_allclose(np.asarray(f), np.asarray(b),
                                    atol=1e-5, rtol=1e-5,

@@ -31,6 +31,11 @@ def test_verify_real_weights_runs(tmp_path, extra):
         capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "checkpoint schema OK" in proc.stdout
+    # The default --deform-mode auto prints the 20-site probe table and
+    # the resolved per-site radii (round-4 verdict item 5).
+    assert "per-site |offset| probe" in proc.stdout
+    assert "dec1.deform_k7" in proc.stdout
+    assert "auto resolved ->" in proc.stdout
     if extra:
         assert "oracle skipped" in proc.stdout
     else:

@@ -214,6 +214,45 @@ def test_fused_mlp_compiles(h, c):
 
 
 @requires_tpu
+@pytest.mark.parametrize("h,c", [(72, 768), (36, 1536), (36, 768),
+                                 (18, 1536)])
+def test_int8_mlp_compiles(h, c):
+    """Compile + execute the W8A8 int8 MLP kernel at the wide-stage
+    geometries it ships at (ComputeConfig.int8_mlp: Swin-L stages 2/3,
+    full + half scale, batch 2 — window-padded grids 72/36/18).
+
+    int8 dots must lower on Mosaic (i8 x i8 -> i32 MXU) and the
+    per-token quantize error must stay at the expected scale."""
+    from birefnet_tpu.ops.pallas import fused_mlp
+    from birefnet_tpu.params import quantize_mlp_int8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, h, h, c)) * 0.1, jnp.bfloat16)
+    n2 = {"scale": jnp.ones((c,), jnp.float32),
+          "bias": jnp.zeros((c,), jnp.float32)}
+    mlp = {"fc1": {"kernel": jnp.asarray(
+                       rng.normal(0, .05, size=(c, 4 * c)), jnp.float32),
+                   "bias": jnp.zeros((4 * c,), jnp.float32)},
+           "fc2": {"kernel": jnp.asarray(
+                       rng.normal(0, .05, size=(4 * c, c)), jnp.float32),
+                   "bias": jnp.zeros((c,), jnp.float32)}}
+    qmlp = quantize_mlp_int8({"mlp": mlp})["mlp"]
+    assert qmlp["fc1"]["kernel_q8"].dtype == jnp.int8
+    out = fused_mlp.fused_mlp_residual(x, n2, qmlp, interpret=False)
+    assert out is not None, f"no legal tile for ({h},{c})"
+    got = np.asarray(out, np.float32)
+    assert np.isfinite(got).all()
+    from birefnet_tpu.ops import layers as L
+    hn = L.layer_norm(n2, x.astype(jnp.float32))
+    hid = jax.nn.gelu(hn @ mlp["fc1"]["kernel"] + mlp["fc1"]["bias"],
+                      approximate=False)
+    ref = np.asarray(
+        x.astype(jnp.float32) + hid @ mlp["fc2"]["kernel"]
+        + mlp["fc2"]["bias"], np.float32)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 5e-2, f"({h},{c}): rel diff {rel}"
+
+
+@requires_tpu
 @pytest.mark.parametrize("b_,heads,masked", [(484, 6, True), (484, 6, False),
                                              (121, 12, True), (36, 24, True),
                                              (9, 48, False)])

@@ -9,9 +9,15 @@ first run with the REAL ZhengPeng7/BiRefNet checkpoint turnkey
 
   1. resolves the checkpoint (--checkpoint path, else the HF cache, else
      a fresh download via birefnet_tpu.hub with ETag-validated resume),
-  2. runs the framework (staged pipeline at --dtype) AND the torch oracle
-     on the same checkpoint + image,
-  3. prints a per-stage diff table (backbone stages, logits) and the mask
+  2. probes the real weights' per-site max|offset| at all 20 deformable
+     sites and prints the auto-calibrated per-site radii (THE open
+     performance question only the real checkpoint can answer — small
+     trained offsets let every site run the fast local kernel),
+  3. runs the framework (staged pipeline at --dtype, default
+     --deform-mode auto = per-site calibrated local dispatch) AND the
+     torch oracle on the same checkpoint + image,
+  4. prints a per-stage diff table (backbone stages, logits), a
+     throughput measure at the resolved mode (on TPU), and the mask
      MAE vs the oracle, with PASS/FAIL gates (<1e-3 mask MAE, the
      BASELINE.md accuracy contract).
 
@@ -71,13 +77,21 @@ def main() -> int:
     p.add_argument("--dtype", choices=("float32", "bfloat16"),
                    default="bfloat16")
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--deform-mode", default="deformable",
-                   choices=("deformable", "deformable-local", "regular"),
+    p.add_argument("--deform-mode", default="auto",
+                   choices=("deformable", "deformable-local", "regular",
+                            "auto"),
                    help="deformable = the reference Metal-path semantics "
-                   "(the real model); the oracle always runs deformable")
+                   "(the real model); auto (default) = probe the real "
+                   "checkpoint's per-site max|offset| and serve each site "
+                   "at its own calibrated local radius — exact w.r.t. the "
+                   "probed data, so the oracle MAE gate still applies; the "
+                   "oracle always runs deformable")
     p.add_argument("--skip-oracle", action="store_true",
                    help="framework-only run (oracle at 1024^2 is slow on "
                    "a small host)")
+    p.add_argument("--throughput", type=int, default=None, metavar="N",
+                   help="also measure img/s over N chained iters (default: "
+                   "40 on TPU, skipped on CPU)")
     args = p.parse_args()
 
     import jax
@@ -108,12 +122,34 @@ def main() -> int:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         use_flash_attention=on_tpu and "DISABLE_FLASH_ATTN" not in os.environ,
         use_pallas_deform=on_tpu,
-        deform_mode=args.deform_mode,
+        deform_mode=("deformable" if args.deform_mode == "auto"
+                     else args.deform_mode),
         unroll_deep_stage=on_tpu,
     )
     frames, (oh, ow) = load_image(args.image, args.size)
     print(f"backend={jax.default_backend()} dtype={args.dtype} "
           f"deform_mode={args.deform_mode} size={args.size}")
+
+    # ---- Per-site offset calibration: THE open question only the real
+    # checkpoint can answer (are the trained offsets small enough for the
+    # fast local kernel, and at which radius per site?) ----
+    if args.deform_mode in ("deformable", "auto"):
+        from birefnet_tpu import calibrate
+        print("=== per-site |offset| probe (20 deformable sites) ===")
+        maxima = calibrate.probe_offset_maxima(params, cfg,
+                                               jnp.asarray(frames), compute)
+        radii = calibrate.calibrated_site_radii(maxima)
+        for name, m, r in zip(calibrate.SITE_NAMES, maxima, radii):
+            pick = f"local R={r}" if r is not None else "exact (probe > cap)"
+            print(f"  {name:16s} max|offset| = {float(m):7.3f}px -> {pick}")
+        if args.deform_mode == "auto":
+            live = [r for r in radii if r is not None]
+            if live:
+                compute = compute.with_overrides(
+                    deform_mode="deformable-local", deform_site_radii=radii,
+                    deform_local_radius=max(live))
+            print(f"auto resolved -> {compute.deform_mode} "
+                  f"site_radii={radii if live else None}")
 
     # ---- Framework: staged pipeline, float mask out ----
     infer = staged.make_staged_infer_fn(
@@ -122,6 +158,24 @@ def main() -> int:
     mask = np.asarray(infer(jnp.asarray(frames)), np.float32)
     print(f"framework mask: shape={mask.shape} min={mask.min():.4f} "
           f"max={mask.max():.4f} mean={mask.mean():.5f}")
+
+    # ---- Throughput at the resolved mode (bench.py's chained-iters
+    # protocol; the auto-mode number is the one ROADMAP's radius curve
+    # predicts from the probed radii) ----
+    iters = args.throughput if args.throughput is not None \
+        else (40 if on_tpu else 0)
+    if iters:
+        import time
+        framesd = jnp.asarray(frames)
+        fence = jax.jit(lambda outs: sum(jnp.sum(o.astype(jnp.float32))
+                                         for o in outs))
+        float(fence([infer(framesd) for _ in range(iters)]))  # warm
+        t0 = time.perf_counter()
+        float(fence([infer(framesd) for _ in range(iters)]))
+        dt = (time.perf_counter() - t0) / iters
+        print(f"throughput ({compute.deform_mode}): "
+              f"{frames.shape[0] / dt:.2f} img/s "
+              f"({dt * 1e3:.1f} ms/iter over {iters} chained iters)")
 
     if args.image:
         from PIL import Image
