@@ -14,7 +14,8 @@ Env overrides: BENCH_BATCH (default 2), BENCH_SIZE (default 1024),
 BENCH_DTYPE (bfloat16|float32), BENCH_ITERS (default 360),
 BENCH_FLASH / BENCH_PALLAS_DEFORM (default 1 on TPU),
 BENCH_DEFORM_MODE (regular|deformable|deformable-local|auto — auto probes
-max|offset| on the bench batch and dispatches the calibrated local kernel).
+max|offset| on the bench batch and dispatches each site's calibrated local
+kernel), BENCH_INT8_MLP (1 = selective W8A8 MLP at the wide stages).
 """
 
 import json
@@ -78,6 +79,16 @@ def main() -> int:
     # Metal-path semantics and is gather-bound on TPU.
     deform_mode = os.environ.get("BENCH_DEFORM_MODE", "regular")
 
+    # Selective W8A8 MLP at the wide stages (ComputeConfig.int8_mlp).
+    # DEFAULT ON for the headline (round 5): it passes the pinned
+    # BASELINE.md accuracy gate with ~18x margin (adds max 6.1e-5 /
+    # mean 4.6e-8 to the mask on top of the bf16 control, whose own
+    # gate error is 1.765e-4 MAE vs f32 — worker job_008) and lifts the
+    # measured headline 52.92 -> 47.66 ms/b2 device-busy (1.11x). The
+    # JSON records int8_mlp so the row is never mistaken for pure bf16;
+    # BENCH_INT8_MLP=0 reproduces the bf16-only control.
+    int8_mlp = os.environ.get("BENCH_INT8_MLP", "1" if on_tpu else "0") == "1"
+
     cfg = bt.BiRefNetConfig.swin_l()
     compute = bt.ComputeConfig(
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
@@ -87,11 +98,13 @@ def main() -> int:
         # exist; the placeholder matches serve.py's --deform-mode auto.
         deform_mode="deformable" if deform_mode == "auto" else deform_mode,
         unroll_deep_stage=os.environ.get("BENCH_UNROLL", "1") == "1" and on_tpu,
+        int8_mlp=int8_mlp,
     )
 
     print(f"[bench] backend={jax.default_backend()} batch={batch} "
           f"size={size} dtype={dtype_name} flash={use_flash} "
-          f"pallas_deform={use_pallas_deform} deform_mode={deform_mode}", file=sys.stderr)
+          f"pallas_deform={use_pallas_deform} deform_mode={deform_mode} "
+          f"int8_mlp={int8_mlp}", file=sys.stderr)
 
     params = bt.init_params(cfg, seed=0)
 
@@ -99,31 +112,44 @@ def main() -> int:
     frames = jnp.asarray(
         rng.integers(0, 256, size=(batch, size, size, 3), dtype=np.uint8))
 
-    resolved_radius = None
+    site_radii = None
     if deform_mode == "auto":
         # Runtime offset-radius calibration (calibrate.py): one exact
-        # forward probes max|offset| at all 20 deformable sites, then the
-        # pipeline compiles as deformable-local at ceil(max)+1 — exact for
-        # the probed data, at MXU-sampling speed (serve.py --deform-mode
-        # auto is the serving analog).
+        # forward probes max|offset| at all 20 deformable sites, then
+        # each site compiles as deformable-local at its OWN ceil(max)+1
+        # radius (sites over the cap keep exact sampling individually) —
+        # exact for the probed data, at MXU-sampling speed (serve.py
+        # --deform-mode auto is the serving analog).
         from birefnet_tpu import calibrate
-        compute, maxima, resolved_radius = calibrate.auto_deform_compute(
+        compute, maxima, site_radii = calibrate.auto_deform_compute(
             params, cfg, frames, compute)
-        print(f"[bench] auto deform: probed max|offset|={maxima.max():.2f}px"
-              f" -> {compute.deform_mode}"
-              f" radius={resolved_radius}", file=sys.stderr)
+        print(f"[bench] auto deform: probed max|offset| "
+              f"max={maxima.max():.2f}px median={np.median(maxima):.2f}px"
+              f" -> {compute.deform_mode} site_radii={site_radii}",
+              file=sys.stderr)
 
     staged = os.environ.get("BENCH_STAGED", "1") == "1"
+    t0 = time.time()
     if staged:
         # The monolithic 1024^2 program exceeds what this environment's
         # remote-compile service can build; the staged path compiles in
         # minutes with negligible steady-state cost (see staged.py).
+        # BENCH_AOT=1 (default): AOT-warm the units at construction and
+        # persist the compiled executables (staged.make_staged_infer_fn
+        # aot_dir) so later runs skip trace+lower+compile entirely.
         from birefnet_tpu import staged as staged_mod
-        infer = staged_mod.make_staged_infer_fn(params, cfg, compute)
+        aot = os.environ.get("BENCH_AOT", "1") == "1"
+        infer = staged_mod.make_staged_infer_fn(
+            params, cfg, compute,
+            warmup_batch=batch if aot else None,
+            aot_dir=os.environ.get("BENCH_AOT_DIR", ".jax_cache/aot")
+            if aot else None)
+        if aot:
+            print(f"[bench] AOT units loaded from disk: "
+                  f"{infer._aot['loaded_from_disk']}", file=sys.stderr)
     else:
         infer = pipeline.make_infer_fn(params, cfg, compute)
 
-    t0 = time.time()
     out = infer(frames)
     _ = np.asarray(out)  # real completion fence (readback)
     print(f"[bench] compile+first run: {time.time() - t0:.1f}s "
@@ -169,8 +195,16 @@ def main() -> int:
         # reference behavior; "deformable" (faithful sampling) is slower —
         # see BENCH_DEFORM_MODE and ROADMAP.md.
         "deform_mode": deform_mode,
-        # set when deform_mode=auto resolved to a calibrated local radius
-        "calibrated_radius": resolved_radius,
+        # The mode the run actually compiled (differs from deform_mode
+        # when "auto" resolved — a null site_radii under auto then means
+        # every probed site exceeded the cap and the run took the slow
+        # exact path, distinguishable from a misconfiguration).
+        "resolved_deform_mode": compute.deform_mode,
+        # set when deform_mode=auto resolved to per-site local radii
+        # (null entries = that site kept exact sampling)
+        "calibrated_site_radii": (list(site_radii)
+                                  if site_radii is not None else None),
+        "int8_mlp": int8_mlp,
         "batch": batch,
     }))
     return 0

@@ -45,6 +45,15 @@ def main(argv=None) -> int:
     parser.add_argument("--auto-radius-cap", type=int, default=8,
                         help="auto mode: fall back to exact sampling when "
                         "the probed radius exceeds this")
+    parser.add_argument("--int8-mlp", action="store_true",
+                        help="selective W8A8 quantization of the wide-stage "
+                        "MLP kernels (faster; stays inside the mask-MAE "
+                        "accuracy gate — see PARITY.md)")
+    parser.add_argument("--aot-dir", default=os.environ.get(
+                        "BIREFNET_AOT_DIR"), metavar="DIR",
+                        help="persist compiled unit executables here and "
+                        "reload them on restart (skips trace+lower+compile "
+                        "for warm starts)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dp", type=int, default=0, metavar="N",
                         help="shard each batch over N data-parallel mesh "
@@ -95,6 +104,7 @@ def main(argv=None) -> int:
         deform_mode=("deformable" if args.deform_mode == "auto"
                      else args.deform_mode),
         unroll_deep_stage=on_tpu,
+        int8_mlp=args.int8_mlp,
     )
     mesh = None
     if args.spatial > 1 and not args.dp:
@@ -125,29 +135,38 @@ def main(argv=None) -> int:
 
     if args.deform_mode == "auto":
         # Probe max|offset| on the first batch with exact sampling, then
-        # serve deformable-local at the measured radius — faithful w.r.t.
-        # the probed data, at MXU-sampling speed (calibrate.py).
+        # serve each deformable site at its own calibrated local radius —
+        # faithful w.r.t. the probed data, at MXU-sampling speed
+        # (calibrate.py; sites over the cap keep exact sampling alone).
         from birefnet_tpu import calibrate
         from birefnet_tpu.loader import load_frame
         probe = [load_frame(p, args.size)[0] for p in paths[:args.batch]]
         while len(probe) < args.batch:
             probe.append(np.zeros_like(probe[0]))
-        print("Calibrating deformable offset radius on the first batch ...")
-        compute, maxima, radius = calibrate.auto_deform_compute(
+        print("Calibrating deformable offset radii on the first batch ...")
+        compute, maxima, radii = calibrate.auto_deform_compute(
             params, cfg, jnp.asarray(np.stack(probe)), compute,
             cap=args.auto_radius_cap)
-        print(f"  per-site max|offset|: max={maxima.max():.2f}px "
-              f"median={np.median(maxima):.2f}px -> "
-              + (f"deformable-local radius {radius}" if radius is not None
-                 else f"exact deformable (probe > cap "
-                      f"{args.auto_radius_cap}px)"))
+        print(f"  probed max|offset|: max={maxima.max():.2f}px "
+              f"median={np.median(maxima):.2f}px")
+        if radii is None:
+            print(f"  -> exact deformable everywhere (every site probed "
+                  f"> cap {args.auto_radius_cap}px)")
+        else:
+            n_exact = sum(r is None for r in radii)
+            print(f"  -> per-site deformable-local radii {radii}"
+                  + (f" ({n_exact} site(s) stay exact)" if n_exact else ""))
 
     # Masks come back at model resolution; host resizes per original size.
     # warmup_batch AOT-compiles all units up front so the first batch pays
-    # no compile latency.
+    # no compile latency; --aot-dir persists the compiled executables so a
+    # RESTARTED server also skips trace+lower+compile (staged.py).
     infer = staged.make_staged_infer_fn(
         params, cfg, compute, out_size=(args.size, args.size),
-        warmup_batch=args.batch, mesh=mesh)
+        warmup_batch=args.batch, mesh=mesh, aot_dir=args.aot_dir)
+    if args.aot_dir and infer._aot["loaded_from_disk"]:
+        print(f"AOT units loaded from disk: "
+              f"{infer._aot['loaded_from_disk']}")
 
     os.makedirs(args.out, exist_ok=True)
     loader = BatchLoader(paths, batch_size=args.batch, size=args.size)

@@ -230,10 +230,11 @@ def test_staged_dp_hlo_has_no_collectives(mesh_dp, rng):
     params = bt.init_params(cfg, seed=2)
     dp = staged.make_staged_infer_fn(params, cfg, warmup_batch=8,
                                      mesh=mesh_dp)
-    for name, exe in dp._aot.items():
-        if name == "shape":
-            continue
-        hlo = exe.as_text()
+    units = [n for n in ("pre", "backbone_full", "backbone_half", "merge")
+             if n in dp._aot]
+    assert len(units) == 4
+    for name in units:
+        hlo = dp._aot[name].as_text()
         for op in ("collective-permute", "all-gather", "all-to-all",
                    "all-reduce", "reduce-scatter"):
             assert op not in hlo, f"{name}: unexpected {op} in DP program"

@@ -110,6 +110,26 @@ def test_serve_dp_end_to_end(tmp_path, ckpt_path, rng):
     _check_masks(out_dir, sizes)
 
 
+def test_serve_dp_bf16_end_to_end(tmp_path, ckpt_path, rng):
+    """serve.py --dp 2 at --dtype bfloat16: the SHIPPING serving dtype
+    through serve's own mesh construction + in-flight queue (round-4
+    verdict weak #5 — the DP e2e tests ran f32 only, so a serve-level
+    bf16 wiring bug would have escaped the suite). Pure DP at 64^2: the
+    bf16+spatial toy-size guard does not bind."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 (virtual) devices")
+    from birefnet_tpu.serve import main
+    img_dir, sizes = _make_imgs(tmp_path, rng)
+    out_dir = tmp_path / "masks"
+    rc = main([str(img_dir), "--out", str(out_dir),
+               "--checkpoint", ckpt_path, "--batch", "4", "--size", "64",
+               "--dtype", "bfloat16", "--cpu", "--deform-mode", "regular",
+               "--dp", "2"])
+    assert rc == 0
+    _check_masks(out_dir, sizes)
+
+
 def test_serve_dp_spatial_end_to_end(tmp_path, ckpt_path, rng):
     """serve.py --dp 2 --spatial 2 (the HR multi-chip serving invocation)
     end-to-end on the virtual mesh — the batch x spatial staged units built
