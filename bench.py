@@ -88,6 +88,10 @@ def main() -> int:
     # JSON records int8_mlp so the row is never mistaken for pure bf16;
     # BENCH_INT8_MLP=0 reproduces the bf16-only control.
     int8_mlp = os.environ.get("BENCH_INT8_MLP", "1" if on_tpu else "0") == "1"
+    # Same scheme on the attention qkv/proj projections (the other 1/3 of
+    # the wide-stage block MACs); measured record in ROADMAP round 5.
+    int8_attn = os.environ.get(
+        "BENCH_INT8_ATTN", "1" if on_tpu else "0") == "1"
 
     cfg = bt.BiRefNetConfig.swin_l()
     compute = bt.ComputeConfig(
@@ -99,12 +103,13 @@ def main() -> int:
         deform_mode="deformable" if deform_mode == "auto" else deform_mode,
         unroll_deep_stage=os.environ.get("BENCH_UNROLL", "1") == "1" and on_tpu,
         int8_mlp=int8_mlp,
+        int8_attn=int8_attn,
     )
 
     print(f"[bench] backend={jax.default_backend()} batch={batch} "
           f"size={size} dtype={dtype_name} flash={use_flash} "
           f"pallas_deform={use_pallas_deform} deform_mode={deform_mode} "
-          f"int8_mlp={int8_mlp}", file=sys.stderr)
+          f"int8_mlp={int8_mlp} int8_attn={int8_attn}", file=sys.stderr)
 
     params = bt.init_params(cfg, seed=0)
 
@@ -205,6 +210,7 @@ def main() -> int:
         "calibrated_site_radii": (list(site_radii)
                                   if site_radii is not None else None),
         "int8_mlp": int8_mlp,
+        "int8_attn": int8_attn,
         "batch": batch,
     }))
     return 0

@@ -226,6 +226,13 @@ class ComputeConfig:
     # throughput and must stay inside the BASELINE.md mask-MAE < 1e-3 gate
     # (measured — see PARITY.md accuracy table).
     int8_mlp: bool = False
+    # Selective W8A8 quantization of the fused block-attention kernel's
+    # qkv/proj projections at the same wide stages (the other 1/3 of the
+    # block matmul MACs: 4C^2/token vs the MLP's 8C^2). The attention
+    # core (QK^T, softmax, PV) and its f32 statistics stay untouched.
+    # Same accuracy contract as int8_mlp: ships only inside the
+    # BASELINE.md mask-MAE < 1e-3 gate (measured — PARITY.md table).
+    int8_attn: bool = False
     # Unroll the 18-block backbone stage instead of lax.scan over block
     # pairs. Measured 1.03-1.17x device time (XLA optimizes across block
     # boundaries) at ~65s extra one-time compile; keep False where compile

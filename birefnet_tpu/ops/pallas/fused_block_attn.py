@@ -49,7 +49,8 @@ _PACKED_G = {6: 2, 12: 4, 24: 4, 48: 8}
 
 def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             bias_ref, mask_ref, o_ref, *, heads, d, ws, bw, shift, origin,
-            h_real, w_real, hp, wp, eps, residual):
+            h_real, w_real, hp, wp, eps, residual,
+            sqkv_ref=None, sproj_ref=None):
     """Block = `bw` full window-ROWS: x_ref[0] is [bw*ws, Wp, C] (the full
     width keeps the BlockSpec minor dims TPU-legal). Windows are split and
     merged with in-VMEM transposes — VMEM-speed, vs the HBM relayouts of
@@ -96,11 +97,25 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     h = jnp.transpose(h, (0, 2, 1, 3, 4)).reshape(nwin * n, c)
 
     # --- qkv projection (f32 accumulate, like ops/layers.py::linear) ---
-    qkv = jax.lax.dot_general(
-        h, wqkv_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec)
+    if sqkv_ref is not None:
+        # W8A8 (ComputeConfig.int8_attn): per-token int8 activations x
+        # per-column int8 weights -> i32 MXU dot, dequant at f32. Same
+        # scheme as fused_mlp._kernel_i8; the attention core below stays
+        # bf16/f32 (the projections are 4C^2/token of the block's MACs,
+        # the core only ~2*ws^2*C).
+        from .fused_mlp import _quantize_rows
+        qh, sx = _quantize_rows(h.astype(jnp.float32))
+        acc = jax.lax.dot_general(
+            qh, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        qkv = acc.astype(jnp.float32) * (
+            sx * sqkv_ref[...].astype(jnp.float32))
+    else:
+        qkv = jax.lax.dot_general(
+            h, wqkv_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)
     qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(h.dtype)
     qkv = qkv.reshape(nwin, n, 3 * c)
 
@@ -190,11 +205,20 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     attn = jnp.concatenate(outs, axis=-1).reshape(nwin * n, c)
 
     # --- output projection (token-local: window order is fine) ---
-    y = jax.lax.dot_general(
-        attn, wproj_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec)
+    if sproj_ref is not None:
+        from .fused_mlp import _quantize_rows
+        qa, sa = _quantize_rows(attn.astype(jnp.float32))
+        acc = jax.lax.dot_general(
+            qa, wproj_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (
+            sa * sproj_ref[...].astype(jnp.float32))
+    else:
+        y = jax.lax.dot_general(
+            attn, wproj_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)
     y = (y + bproj_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
     # --- window merge back to the row-strip layout ---
@@ -225,7 +249,7 @@ _BW = 1
                      "residual", "interpret"))
 def _fused(x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias, mask_grid,
            ws, shift, origin, h_real, w_real, heads, residual=False,
-           interpret=False):
+           interpret=False, sqkv=None, sproj=None):
     b, hp, wp, c = x.shape
     n = ws * ws
     d = c // heads
@@ -237,22 +261,30 @@ def _fused(x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias, mask_grid,
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [x_spec, full, full, full, full, full, full, full]
     args = [x, ln_g, ln_b, wqkv, bqkv, wproj, bproj, bias]
-    if mask_grid is not None:
+    has_mask = mask_grid is not None
+    if has_mask:
         in_specs.append(pl.BlockSpec((bw, wc, n, n),
                                      lambda bi, i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask_grid)
-        kern = functools.partial(
-            _kernel, heads=heads, d=d, ws=ws, bw=bw, shift=shift,
-            origin=origin, h_real=h_real, w_real=w_real, hp=hp, wp=wp,
-            eps=1e-5, residual=residual)
-    else:
-        def kern(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                 bproj_ref, bias_ref, o_ref):
-            _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                    bproj_ref, bias_ref, None, o_ref, heads=heads, d=d,
-                    ws=ws, bw=bw, shift=shift, origin=origin, h_real=h_real,
-                    w_real=w_real, hp=hp, wp=wp, eps=1e-5, residual=residual)
+    int8 = sqkv is not None
+    if int8:
+        # W8A8 projections: wqkv/wproj arrive int8, the dequant scales as
+        # two extra f32 refs (trailing, so the fixed ref order above is
+        # unchanged).
+        in_specs += [full, full]
+        args += [sqkv, sproj]
+
+    def kern(*refs):
+        j = 9 if has_mask else 8
+        _kernel(*refs[:8],
+                refs[8] if has_mask else None,      # mask_ref
+                refs[-1],                           # o_ref
+                heads=heads, d=d, ws=ws, bw=bw, shift=shift, origin=origin,
+                h_real=h_real, w_real=w_real, hp=hp, wp=wp, eps=1e-5,
+                residual=residual,
+                sqkv_ref=refs[j] if int8 else None,
+                sproj_ref=refs[j + 1] if int8 else None)
 
     return pl.pallas_call(
         kern,
@@ -319,6 +351,17 @@ def fused_window_block_attention(
             mask_grid = mask_grid.astype(jnp.bfloat16)
     # Weights cast outside the kernel so the (f32-stored) params are not
     # DMA'd at double width every grid step.
+    if "kernel_q8" in attn_params["qkv"]:
+        # W8A8 projections (ComputeConfig.int8_attn; weights quantized
+        # once in params.quantize_attn_int8 — wide stages only).
+        return _fused(
+            x, norm1_params["scale"], norm1_params["bias"],
+            attn_params["qkv"]["kernel_q8"], attn_params["qkv"]["bias"],
+            attn_params["proj"]["kernel_q8"], attn_params["proj"]["bias"],
+            bias, mask_grid, ws, shift_size, origin, h_real, w_real,
+            num_heads, residual=residual, interpret=interpret,
+            sqkv=attn_params["qkv"]["scale_q8"],
+            sproj=attn_params["proj"]["scale_q8"])
     return _fused(
         x, norm1_params["scale"], norm1_params["bias"],
         attn_params["qkv"]["kernel"].astype(x.dtype),

@@ -482,3 +482,41 @@ def quantize_mlp_int8(params, min_channels: int = INT8_MLP_MIN_CHANNELS):
         return out
 
     return walk(params)
+
+
+def quantize_attn_int8(params, min_channels: int = INT8_MLP_MIN_CHANNELS):
+    """Add per-output-channel int8 weights to the wide Swin attention
+    projections (ComputeConfig.int8_attn).
+
+    Same scheme and selectivity as quantize_mlp_int8, applied to each
+    wide-stage block's attn qkv/proj kernels — the other 1/3 of the block
+    matmul MACs (4C^2/token vs the MLP's 8C^2; the window-attention core
+    itself is ~2*ws^2*C/token and stays bf16, as do the f32 softmax
+    statistics). ops/pallas/fused_block_attn.py dispatches on the
+    presence of `kernel_q8`.
+    """
+
+    def quant_cols(w):
+        w = jnp.asarray(w, jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-30) / 127.0
+        q = jnp.clip(jnp.round(w / scale), -127.0, 127.0).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if (k == "attn" and isinstance(v, dict)
+                    and "qkv" in v and "proj" in v
+                    and v["qkv"]["kernel"].shape[0] >= min_channels):
+                new = {}
+                for p in ("qkv", "proj"):
+                    q, s = quant_cols(v[p]["kernel"])
+                    new[p] = dict(v[p], kernel_q8=q, scale_q8=s)
+                out[k] = dict(v, **new)
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(params)

@@ -82,9 +82,12 @@ def make_infer_fn(
       out_size: (h, w) of the returned mask; defaults to the input frame size.
     Returns a jitted fn: [B, H, W, 3] uint8 -> [B, out_h, out_w] mask.
     """
-    from .params import cast_matmul_weights, quantize_mlp_int8
+    from .params import (cast_matmul_weights, quantize_attn_int8,
+                         quantize_mlp_int8)
     if compute.int8_mlp:
         params = quantize_mlp_int8(params)
+    if compute.int8_attn:
+        params = quantize_attn_int8(params)
     params = cast_matmul_weights(params, compute.dtype)
 
     @jax.jit

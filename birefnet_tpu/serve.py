@@ -49,6 +49,9 @@ def main(argv=None) -> int:
                         help="selective W8A8 quantization of the wide-stage "
                         "MLP kernels (faster; stays inside the mask-MAE "
                         "accuracy gate — see PARITY.md)")
+    parser.add_argument("--int8-attn", action="store_true",
+                        help="same W8A8 scheme on the wide-stage attention "
+                        "qkv/proj projections")
     parser.add_argument("--aot-dir", default=os.environ.get(
                         "BIREFNET_AOT_DIR"), metavar="DIR",
                         help="persist compiled unit executables here and "
@@ -105,6 +108,7 @@ def main(argv=None) -> int:
                      else args.deform_mode),
         unroll_deep_stage=on_tpu,
         int8_mlp=args.int8_mlp,
+        int8_attn=args.int8_attn,
     )
     mesh = None
     if args.spatial > 1 and not args.dp:

@@ -170,9 +170,12 @@ def make_staged_infer_fn(
     # One-time kernel cast to the compute dtype (else ~1.6 ms/call/unit of
     # f32->bf16 weight conversion re-runs inside every program). int8 MLP
     # weights quantize first, from the f32 masters.
-    from .params import cast_matmul_weights, quantize_mlp_int8
+    from .params import (cast_matmul_weights, quantize_attn_int8,
+                         quantize_mlp_int8)
     if compute.int8_mlp:
         params = quantize_mlp_int8(params)
+    if compute.int8_attn:
+        params = quantize_attn_int8(params)
     params = cast_matmul_weights(params, compute.dtype)
 
     _leaf_sh = None

@@ -256,3 +256,44 @@ def test_int8_mlp_quantization_is_selective():
     # original kernels stay (unfused / probe paths still read them)
     assert q["layers_2"]["blocks_0"]["mlp"]["fc1"]["kernel"].shape == \
         (768, 3072)
+
+
+def test_int8_block_attention_matches_unfused(rng):
+    """W8A8 qkv/proj in the fused block kernel (ComputeConfig.int8_attn):
+    the interpret-mode kernel must match the unfused f32 block at the
+    int8 quantization scale, and quantization must be selective (wide
+    stages only, original kernels kept for the unfused paths)."""
+    from birefnet_tpu.models.swin import swin_block_forward
+    from birefnet_tpu.configs import ComputeConfig
+    from birefnet_tpu.ops import window as W
+    from birefnet_tpu.params import quantize_attn_int8
+
+    ws, heads, c = 12, 24, 768
+    h = w = 24
+    params = _block_params(rng, c, heads)
+    x = jnp.asarray(_rand(rng, (1, h, w, c)))
+    attn_mask = jnp.asarray(W.sw_msa_mask(h, w, ws, ws // 2))
+
+    qparams = quantize_attn_int8(params)
+    assert qparams["attn"]["qkv"]["kernel_q8"].dtype == jnp.int8
+    assert qparams["attn"]["proj"]["scale_q8"].shape == (c,)
+    # the narrow stages stay bf16
+    narrow = quantize_attn_int8(_block_params(rng, 192, 6))
+    assert "kernel_q8" not in narrow["attn"]["qkv"]
+    # original kernels stay (unfused / middle-tier paths still read them)
+    assert qparams["attn"]["qkv"]["kernel"].shape == (c, 3 * c)
+
+    for shift in (0, 6):
+        want = np.asarray(swin_block_forward(
+            params, x, ws, shift, heads, attn_mask,
+            ComputeConfig(use_flash_attention=False)), np.float32)
+        got = np.asarray(swin_block_forward(
+            qparams, x, ws, shift, heads, attn_mask,
+            ComputeConfig(use_flash_attention=True)), np.float32)
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 5e-2, f"shift={shift}: rel {rel}"
+        # engaged: int8 output must differ from the bf16 fused kernel
+        bf16 = np.asarray(swin_block_forward(
+            params, x, ws, shift, heads, attn_mask,
+            ComputeConfig(use_flash_attention=True)), np.float32)
+        assert np.abs(got - bf16).max() > 0.0

@@ -64,14 +64,21 @@ def _block_inputs(hp, c, heads, shift, dtype=jnp.bfloat16, seed=0):
     return x, n1, ap, mask, h_real
 
 
-def check_fused_block_attention(hp, c, heads, shift, interpret, label=""):
+def check_fused_block_attention(hp, c, heads, shift, interpret, label="",
+                                int8=False):
     """Compile + execute the fused Swin-block attention kernel at one
-    geometry; compare against the unfused jnp path."""
+    geometry; compare against the unfused jnp path. With int8=True the
+    qkv/proj projections run the W8A8 path (ComputeConfig.int8_attn) and
+    the tolerance widens to the int8 quantization scale."""
     from birefnet_tpu.ops.pallas import fused_block_attn
     from birefnet_tpu.ops import window as W
     from birefnet_tpu.ops import attention as attn_ops
     from birefnet_tpu.ops import layers as L
     x, n1, ap, mask, h_real = _block_inputs(hp, c, heads, shift)
+    if int8:
+        from birefnet_tpu.params import quantize_attn_int8
+        ap = quantize_attn_int8({"attn": ap}, min_channels=c)["attn"]
+        assert ap["qkv"]["kernel_q8"].dtype == jnp.int8
     out = fused_block_attn.fused_window_block_attention(
         x, n1, ap, WS, shift, heads, mask, h_real, h_real,
         interpret=interpret)
@@ -103,7 +110,8 @@ def check_fused_block_attention(hp, c, heads, shift, interpret, label=""):
         ref = W.roll_2d(ref, shift, shift)
     ref = np.asarray(ref[:, :h_real, :h_real], np.float32)
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
-    assert rel < 2e-2, f"{label} shift={shift}: rel diff {rel}"
+    tol = 5e-2 if int8 else 2e-2
+    assert rel < tol, f"{label} shift={shift}: rel diff {rel}"
 
 
 @requires_tpu
@@ -112,6 +120,18 @@ def check_fused_block_attention(hp, c, heads, shift, interpret, label=""):
 def test_fused_block_attention_compiles(label, hp, c, heads, shift):
     check_fused_block_attention(hp, c, heads, shift, interpret=False,
                                 label=label)
+
+
+@requires_tpu
+@pytest.mark.parametrize("shift", [0, 6])
+@pytest.mark.parametrize("label,hp,c,heads",
+                         [g for g in BLOCK_GEOMETRIES if g[2] >= 768])
+def test_int8_block_attention_compiles(label, hp, c, heads, shift):
+    """W8A8 qkv/proj variant (ComputeConfig.int8_attn) at the wide-stage
+    geometries it ships at: i8 x i8 -> i32 dots must lower on Mosaic
+    inside the strip-reading block kernel."""
+    check_fused_block_attention(hp, c, heads, shift, interpret=False,
+                                label=label, int8=True)
 
 
 # Geometries whose pad slack (8) covers ws - shift (6): the model runs
