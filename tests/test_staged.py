@@ -105,3 +105,31 @@ def test_staged_aot_key_tracks_config(rng, tmp_path):
     key_c = staged._aot_cache_key(
         cfg, ComputeConfig(), {}, 2, (64, 64), None, True, None)
     assert len({key_a, key_b, key_c}) == 3
+
+
+def test_staged_aot_dir_roundtrip_on_mesh(rng, tmp_path):
+    """aot_dir + mesh: the deserialize path must pass the ORIGINAL mesh
+    device assignment as execution_devices (the PJRT default is all
+    local devices in enumeration order, which can mismatch the mesh) —
+    a serve --dp --aot-dir RESTART depends on this. Persist on a DP
+    mesh, reload, and require identical sharded masks."""
+    import dataclasses
+    from birefnet_tpu.parallel import mesh as pmesh
+    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(), size=(64, 64))
+    params = bt.init_params(cfg, seed=1)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(8, 64, 64, 3), dtype=np.uint8))
+    mesh = pmesh.make_mesh(8, spatial=1)
+
+    d = str(tmp_path / "aot_mesh")
+    first = staged.make_staged_infer_fn(params, cfg, warmup_batch=8,
+                                        mesh=mesh, aot_dir=d)
+    assert first._aot["loaded_from_disk"] == []
+    a = np.asarray(first(frames))
+
+    second = staged.make_staged_infer_fn(params, cfg, warmup_batch=8,
+                                         mesh=mesh, aot_dir=d)
+    assert sorted(second._aot["loaded_from_disk"]) == [
+        "backbone_full", "backbone_half", "merge", "pre"]
+    b = np.asarray(second(frames))
+    np.testing.assert_array_equal(a, b)
