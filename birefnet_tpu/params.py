@@ -520,3 +520,180 @@ def quantize_attn_int8(params, min_channels: int = INT8_MLP_MIN_CHANNELS):
         return out
 
     return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint EXPORT: nested NHWC param tree -> flat torch-layout schema
+# ---------------------------------------------------------------------------
+# Exact inverse of build_param_tree, making TRAINED parameters (train.py)
+# consumable by the upstream torch BiRefNet and by the reference
+# (candle-birefnet loads the same ZhengPeng7 schema,
+# reference: src/birefnet.rs:471-477). Every load-time transform is
+# inverted bit-exactly:
+#   conv/linear: layout transposes;
+#   BN fold:     emitted as gamma=scale, beta=shift, mean=0,
+#                var=1-BN_EPS — chosen so the loader's gamma/sqrt(var+eps)
+#                is EXACTLY 1.0 in f32 (asserted below), i.e. the fold
+#                round-trips to the bit. A torch eval-mode BN with these
+#                stats computes the identical affine.
+#   cached_bias: scattered back into the (2w-1)^2-row bias table (the
+#                relative-position index covers every row — asserted).
+
+
+def _f32(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _inv_conv(tree, name: str, out: Dict[str, np.ndarray], bias: bool = True):
+    out[f"{name}.weight"] = np.transpose(_f32(tree["kernel"]), (3, 2, 0, 1))
+    if bias:
+        out[f"{name}.bias"] = _f32(tree["bias"])
+
+
+def _inv_linear(tree, name: str, out, bias: bool = True):
+    out[f"{name}.weight"] = np.transpose(_f32(tree["kernel"]))
+    if bias:
+        out[f"{name}.bias"] = _f32(tree["bias"])
+
+
+def _inv_ln(tree, name: str, out):
+    out[f"{name}.weight"] = _f32(tree["scale"])
+    out[f"{name}.bias"] = _f32(tree["bias"])
+
+
+def _inv_bn(tree, name: str, out):
+    scale, shift = _f32(tree["scale"]), _f32(tree["shift"])
+    var = np.full_like(scale, np.float32(1.0) - np.float32(BN_EPS))
+    assert float(np.sqrt(var.flat[0] + np.float32(BN_EPS))) == 1.0
+    out[f"{name}.weight"] = scale
+    out[f"{name}.bias"] = shift
+    out[f"{name}.running_mean"] = np.zeros_like(scale)
+    out[f"{name}.running_var"] = var
+
+
+def _inv_attn(tree, name: str, window_size: int, num_heads: int, out):
+    _inv_linear(tree["qkv"], f"{name}.qkv", out)
+    _inv_linear(tree["proj"], f"{name}.proj", out)
+    cached = _f32(tree["cached_bias"])  # [heads, N, N]
+    n = window_size * window_size
+    idx = np.asarray(relative_position_index(window_size)).reshape(-1)
+    table = np.zeros(((2 * window_size - 1) ** 2, num_heads), np.float32)
+    # Scatter (consistent writes: every (i,j) pair with the same relative
+    # displacement carries the same bias value by construction).
+    table[idx] = cached.transpose(1, 2, 0).reshape(n * n, num_heads)
+    assert len(np.unique(idx)) == table.shape[0], "bias table not covered"
+    out[f"{name}.relative_position_bias_table"] = table
+
+
+def _inv_deform_conv(tree, name: str, out):
+    _inv_conv(tree["offset_conv"], f"{name}.offset_conv", out)
+    _inv_conv(tree["modulator_conv"], f"{name}.modulator_conv", out)
+    _inv_conv(tree["regular_conv"], f"{name}.regular_conv", out, bias=False)
+
+
+def _inv_aspp_deformable(tree, name: str, out):
+    _inv_deform_conv(tree["aspp1"]["atrous_conv"], f"{name}.aspp1.atrous_conv", out)
+    _inv_bn(tree["aspp1"]["bn"], f"{name}.aspp1.bn", out)
+    for i in range(3):
+        sub = tree[f"aspp_deforms_{i}"]
+        _inv_deform_conv(sub["atrous_conv"],
+                         f"{name}.aspp_deforms.{i}.atrous_conv", out)
+        _inv_bn(sub["bn"], f"{name}.aspp_deforms.{i}.bn", out)
+    _inv_conv(tree["global_avg_pool_conv"], f"{name}.global_avg_pool.1",
+              out, bias=False)
+    _inv_bn(tree["global_avg_pool_bn"], f"{name}.global_avg_pool.2", out)
+    _inv_conv(tree["conv1"], f"{name}.conv1", out, bias=False)
+    _inv_bn(tree["bn1"], f"{name}.bn1", out)
+
+
+def _inv_basic_dec_blk(tree, name: str, out):
+    _inv_conv(tree["conv_in"], f"{name}.conv_in", out)
+    _inv_bn(tree["bn_in"], f"{name}.bn_in", out)
+    _inv_aspp_deformable(tree["dec_att"], f"{name}.dec_att", out)
+    _inv_conv(tree["conv_out"], f"{name}.conv_out", out)
+    _inv_bn(tree["bn_out"], f"{name}.bn_out", out)
+
+
+def _inv_simple_convs(tree, name: str, out):
+    _inv_conv(tree["conv1"], f"{name}.conv1", out)
+    _inv_conv(tree["conv_out"], f"{name}.conv_out", out)
+
+
+def _inv_swin(tree, prefix: str, cfg: SwinConfig, out):
+    _inv_conv(tree["patch_embed"]["proj"], f"{prefix}.patch_embed.proj", out)
+    _inv_ln(tree["patch_embed"]["norm"], f"{prefix}.patch_embed.norm", out)
+    for i, depth in enumerate(cfg.depths):
+        layer = tree[f"layers_{i}"]
+        for j in range(depth):
+            blk = layer[f"blocks_{j}"]
+            b = f"{prefix}.layers.{i}.blocks.{j}"
+            _inv_ln(blk["norm1"], f"{b}.norm1", out)
+            _inv_attn(blk["attn"], f"{b}.attn", cfg.window_size,
+                      cfg.num_heads[i], out)
+            _inv_ln(blk["norm2"], f"{b}.norm2", out)
+            _inv_linear(blk["mlp"]["fc1"], f"{b}.mlp.fc1", out)
+            _inv_linear(blk["mlp"]["fc2"], f"{b}.mlp.fc2", out)
+        if i < len(cfg.depths) - 1:
+            _inv_ln(layer["downsample"]["norm"],
+                    f"{prefix}.layers.{i}.downsample.norm", out)
+            _inv_linear(layer["downsample"]["reduction"],
+                        f"{prefix}.layers.{i}.downsample.reduction",
+                        out, bias=False)
+        _inv_ln(tree[f"norm_{i}"], f"{prefix}.norm{i}", out)
+
+
+def export_checkpoint(params, cfg: BiRefNetConfig) -> Dict[str, np.ndarray]:
+    """Nested param tree -> flat torch-schema tensors (f32).
+
+    The result matches checkpoint_spec(cfg) name-for-name and
+    shape-for-shape (validated strictly here), and
+    build_param_tree(export_checkpoint(p)) == p bit-exactly — the
+    round-trip the tests pin.
+    """
+    out: Dict[str, np.ndarray] = {}
+    _inv_swin(params["bb"], "bb", cfg.swin_config(), out)
+    _inv_basic_dec_blk(params["squeeze_module"]["blocks_0"],
+                       "squeeze_module.0", out)
+    d, dec = "decoder", params["decoder"]
+    for idx in range(5):
+        _inv_simple_convs(dec[f"ipt_blk{idx + 1}"], f"{d}.ipt_blk{idx + 1}", out)
+    for stage in (4, 3, 2, 1):
+        _inv_basic_dec_blk(dec[f"decoder_block{stage}"],
+                           f"{d}.decoder_block{stage}", out)
+    for stage in (4, 3, 2):
+        _inv_conv(dec[f"lateral_block{stage}"]["conv"],
+                  f"{d}.lateral_block{stage}.conv", out)
+        _inv_conv(dec[f"gdt_convs_{stage}"]["conv"],
+                  f"{d}.gdt_convs_{stage}.0", out)
+        _inv_bn(dec[f"gdt_convs_{stage}"]["bn"], f"{d}.gdt_convs_{stage}.1", out)
+        _inv_conv(dec[f"gdt_convs_attn_{stage}"], f"{d}.gdt_convs_attn_{stage}.0", out)
+        _inv_conv(dec[f"gdt_convs_pred_{stage}"], f"{d}.gdt_convs_pred_{stage}.0", out)
+        _inv_conv(dec[f"conv_ms_spvn_{stage}"], f"{d}.conv_ms_spvn_{stage}", out)
+    _inv_conv(dec["conv_out1"], f"{d}.conv_out1.0", out)
+
+    spec = dict(checkpoint_spec(cfg))
+    missing = sorted(set(spec) - set(out))
+    extra = sorted(set(out) - set(spec))
+    if missing or extra:
+        raise ValueError(
+            f"export schema mismatch: missing {missing[:5]} extra {extra[:5]}")
+    for k, v in out.items():
+        if tuple(v.shape) != tuple(spec[k]):
+            raise ValueError(f"{k}: exported {v.shape} != spec {spec[k]}")
+    # Force C-contiguity: the transposes above produce views, and
+    # safetensors' writer serializes wrong bytes for non-contiguous
+    # arrays backed by jnp buffers (measured: file != passed dict for
+    # every linear kernel when exporting a device_put tree; the
+    # in-memory dict was exact). ascontiguousarray is a no-op copy-wise
+    # for already-C arrays.
+    return {k: np.ascontiguousarray(v) for k, v in out.items()}
+
+
+def save_checkpoint(path: str, params, cfg: BiRefNetConfig | None = None) -> None:
+    """Write params as a ZhengPeng7-schema safetensors file — loadable by
+    load_checkpoint, by upstream torch BiRefNet (eval mode), and by the
+    reference implementation."""
+    from safetensors.numpy import save_file
+
+    cfg = cfg or BiRefNetConfig.swin_l()
+    save_file(export_checkpoint(params, cfg), path)
