@@ -238,6 +238,22 @@ class ComputeConfig:
     # boundaries) at ~65s extra one-time compile; keep False where compile
     # time matters (CPU tests), True for TPU serving/bench.
     unroll_deep_stage: bool = False
+    # Autodiff gate (train.py): when True every forward formulation must be
+    # JAX-differentiable, so the one dtype-gated Pallas path (the decoder's
+    # bf16 tap-conv head, models/decoder.py::_composed_pair_conv) falls
+    # back to its XLA s2d-matmul route — Pallas kernels here are
+    # forward-only (no VJP). The flash/int8 Pallas paths are flag-gated
+    # already and are rejected by train.validate_train_compute. Inference
+    # defaults are unaffected.
+    differentiable: bool = False
+    # Gradient checkpointing (training only; no effect on forward-only
+    # use): rematerialize each Swin block pair in the backward pass
+    # instead of saving its activations — jax.checkpoint around the
+    # block-pair body (models/swin.py::basic_layer_forward). Peak
+    # training activation memory for the backbone drops from
+    # O(depth x block activations) to O(1 pair) per stage at the cost of
+    # one extra forward recompute — the standard TPU HBM/FLOPs trade.
+    remat_blocks: bool = False
     # Partial unroll factor for the lax.scan over block pairs (used only
     # when unroll_deep_stage=False). k>1 compiles the pair body k times and
     # runs depth/2/k loop iterations: most of full unroll's runtime win

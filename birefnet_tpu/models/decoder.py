@@ -159,7 +159,8 @@ def _composed_bulk_s2d(k_comp: jax.Array, b_comp, x: jax.Array) -> jax.Array:
     return y
 
 
-def _composed_pair_conv(pa, pb, x: jax.Array) -> jax.Array:
+def _composed_pair_conv(pa, pb, x: jax.Array,
+                        compute: ComputeConfig) -> jax.Array:
     """conv3x3_B(conv3x3_A(x)) with no nonlinearity between, as ONE
     composed 5x5 conv on the interior plus an exact 1-px border recompute.
     Returns CHANNEL-LESS [B, H, W] logits (the only call site is the
@@ -190,12 +191,15 @@ def _composed_pair_conv(pa, pb, x: jax.Array) -> jax.Array:
         b_comp = bb if b_comp is None else b_comp + bb
 
     h, w = x.shape[1:3]
-    if x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+    if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+            and not compute.differentiable):
         # Direct Pallas tap conv with W in lanes: 75 scalar-x-vector FMAs,
         # no s2d phases and no 16-phase de-interleave (the de-interleave
         # lane shuffle alone measured 0.50 ms/call at 1024^2 batch 2,
-        # job_103). bf16/TPU path only: the f32 oracle-parity path keeps
-        # the s2d-matmul rounding it was pinned with.
+        # job_103). bf16/TPU path only (and forward-only: no VJP — the
+        # differentiable flag demotes to the s2d route for training): the
+        # f32 oracle-parity path keeps the s2d-matmul rounding it was
+        # pinned with.
         from ..ops.pallas.tap_conv import tap_conv_same
         out = tap_conv_same(x, k_comp, b_comp)
     elif ci <= 8 and kh == kw == 3 and h % 4 == 0 and w % 4 == 0:
@@ -259,7 +263,7 @@ def input_pyramid(params, cfg: BiRefNetConfig, x: jax.Array,
     w_i1 = jnp.einsum("hwcd,do->hwco", ipt1p["conv_out"]["kernel"], k_ipt1)
     b_i1 = (ipt1p["conv_out"]["bias"] @ k_ipt1)[..., 0]
     ipt["logit_ipt1"] = _composed_pair_conv(
-        ipt1p["conv1"], {"kernel": w_i1, "bias": b_i1[None]}, x)
+        ipt1p["conv1"], {"kernel": w_i1, "bias": b_i1[None]}, x, compute)
     return ipt
 
 

@@ -127,6 +127,24 @@ def _kernel_i8(x_ref, g_ref, b_ref, w1q_ref, s1_ref, b1_ref, w2q_ref,
     o_ref[...] = x + y
 
 
+def _resident_weights_fit(c: int, weight_itemsize: int,
+                          highest_precision: bool) -> bool:
+    """Both full weight matrices ([C,4C] fc1 + [4C,C] fc2) stay resident
+    in VMEM for the kernel's lifetime (full BlockSpecs) — 8*C*C bytes.
+
+    f32 weights additionally pay Mosaic's precision=HIGHEST multi-pass
+    dot scratch: measured +21.5MB over the 75.5MB resident weights at
+    C=1536 (97.02M total vs the 96M scoped limit — worker job_105 OOM at
+    128^2), so f32 budgets at 4/3 x. Over-budget geometries make
+    fused_mlp_residual return None and the caller runs the unfused XLA
+    path (same graceful demotion as the ws=7 fused-block fallback)."""
+    wbytes = 8 * c * c * weight_itemsize
+    if highest_precision:
+        wbytes = (wbytes * 4) // 3
+    # 8MB headroom for activation tiles / hidden f32 / double buffering.
+    return wbytes <= tuning.vmem_limit_bytes() - (8 << 20)
+
+
 def _pick_tile(t: int, c: int, itemsize: int) -> Optional[int]:
     """Token rows per grid step: divisor of T, multiple of 8, hidden
     activation under a VMEM budget.
@@ -210,6 +228,13 @@ def fused_mlp_residual(
         t *= s
     int8 = "kernel_q8" in mlp_params["fc1"]
     if _pick_tile(t, c, 4 if int8 else x.dtype.itemsize) is None:
+        return None
+    # Compiled-path VMEM gate (interpret mode has no VMEM): the weights
+    # are kernel-resident; kernels here cast them to x.dtype, and f32
+    # dots run precision=HIGHEST (extra scratch — see the helper).
+    if not interpret and not _resident_weights_fit(
+            c, 1 if int8 else x.dtype.itemsize,
+            highest_precision=(not int8 and x.dtype.itemsize == 4)):
         return None
     if int8:
         out = _fused_i8(

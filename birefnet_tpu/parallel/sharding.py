@@ -40,6 +40,49 @@ def batch_spatial_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
 
 
+def fsdp_specs(params, mesh: Mesh, axis: str = DATA_AXIS,
+               min_size: int = 2 ** 14):
+    """ZeRO-3/FSDP leaf shardings: shard each parameter's LARGEST dimension
+    that divides by the axis size; replicate leaves that are too small or
+    indivisible.
+
+    This is the TPU-native parameter/optimizer partitioning for training
+    (train.py): params, grads, and AdamW moments all carry these specs, and
+    XLA inserts the all-gather (params into the forward) and reduce-scatter
+    (grads out of the backward) collectives from the annotations alone.
+    `min_size` keeps tiny leaves (biases, LN scales) replicated — sharding
+    them costs more in collective latency than it saves in bytes.
+
+    Returns a pytree of NamedSharding matching `params`' structure (usable
+    for the optimizer state too: optax's AdamW moments mirror the params
+    tree, so `jax.tree.map`-ing device_put with these specs over `mu`/`nu`
+    shards them identically).
+    """
+    n = mesh.shape[axis]
+
+    def spec_for(leaf) -> NamedSharding:
+        shape = getattr(leaf, "shape", ())
+        size = 1
+        for d in shape:
+            size *= d
+        if not shape or size < min_size:
+            return NamedSharding(mesh, P())
+        # Largest divisible dim; ties break toward the LAST dim (params here
+        # are torch-layout conv [kh, kw, cin, cout] / dense [in, out]: the
+        # trailing dims are the big channel dims).
+        best = None
+        for i, d in enumerate(shape):
+            if d % n == 0 and (best is None or d >= shape[best]):
+                best = i
+        if best is None:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        spec[best] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(spec_for, params)
+
+
 def make_sharded_infer_fn(
     mesh: Mesh,
     params,

@@ -232,6 +232,34 @@ def test_int8_mlp_kernel_matches_f32_reference(rng):
     assert np.abs(got - bf16).max() > 0.0
 
 
+def test_fused_mlp_vmem_gate(monkeypatch):
+    """Compiled-path VMEM gate: both full weight matrices are
+    kernel-resident (8*C*C bytes) and f32 pays HIGHEST-precision scratch
+    (+4/3), so the f32 C=1536 geometry must DEMOTE to the unfused path
+    (None) instead of OOM-ing scoped VMEM at compile — the measured
+    failure was 97.02M vs the 96M v5e limit (worker job_105, 128^2
+    f32+flash). bf16 C=1536 and f32 C<=768 stay fused."""
+    from birefnet_tpu.ops.pallas import fused_mlp, tuning
+
+    v5e_limit = min(100 << 20, ((128 << 20) * 3) // 4)  # 96 MiB
+    monkeypatch.setattr(tuning, "vmem_limit_bytes", lambda: v5e_limit)
+    assert not fused_mlp._resident_weights_fit(1536, 4, True)   # f32 st3
+    assert fused_mlp._resident_weights_fit(1536, 2, False)      # bf16 st3
+    assert fused_mlp._resident_weights_fit(768, 4, True)        # f32 st2
+    assert fused_mlp._resident_weights_fit(1536, 1, False)      # int8 st3
+
+    # e2e: the rejected geometry returns None BEFORE building any kernel
+    # (interpret=False is safe on CPU for the reject path).
+    c = 1536
+    x = jnp.zeros((16, c), jnp.float32)
+    n2 = {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+    mlp = {"fc1": {"kernel": jnp.zeros((c, 4 * c)),
+                   "bias": jnp.zeros((4 * c,))},
+           "fc2": {"kernel": jnp.zeros((4 * c, c)),
+                   "bias": jnp.zeros((c,))}}
+    assert fused_mlp.fused_mlp_residual(x, n2, mlp, interpret=False) is None
+
+
 def test_int8_mlp_quantization_is_selective():
     """params.quantize_mlp_int8 must touch ONLY the wide-stage MLPs
     (C >= INT8_MLP_MIN_CHANNELS = stages 2/3): the narrow stages measured
