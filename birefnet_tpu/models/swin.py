@@ -264,14 +264,27 @@ def basic_layer_forward(
                 compute)
             return x, None
 
+        if compute.remat_blocks:
+            # Gradient checkpointing: the backward recomputes each pair's
+            # activations from the carried x instead of saving them —
+            # scan-over-remat, the standard TPU training memory shape
+            # (stage-2's 18 blocks dominate saved-activation HBM).
+            pair_body = jax.checkpoint(pair_body, prevent_cse=False)
         x, _ = jax.lax.scan(pair_body, x, (stacked, stacked_odd),
                             unroll=compute.deep_stage_scan_unroll)
     else:
+        def one_block(p, x, block_shift):
+            return swin_block_forward(
+                p, x, window_size, block_shift, num_heads, attn_mask,
+                compute)
+
+        if compute.remat_blocks:
+            # default prevent_cse=True: outside a scan body XLA's CSE
+            # could otherwise undo the rematerialization.
+            one_block = jax.checkpoint(one_block, static_argnums=(2,))
         for j in range(depth):
-            block_shift = 0 if j % 2 == 0 else shift_size
-            x = swin_block_forward(
-                params[f"blocks_{j}"], x, window_size, block_shift, num_heads,
-                attn_mask, compute)
+            x = one_block(params[f"blocks_{j}"], x,
+                          0 if j % 2 == 0 else shift_size)
 
     x_out = x
     if downsample:

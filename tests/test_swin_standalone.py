@@ -45,6 +45,37 @@ def test_swin_t_stage_shapes():
     assert [o.shape for o in outs] == expected
 
 
+def test_remat_blocks_grad_equivalence():
+    """compute.remat_blocks (gradient checkpointing) changes backward
+    memory scheduling only: forward values and parameter gradients match
+    the plain path on BOTH branches — the deep-stage lax.scan
+    (scan-over-remat-pair) and the unrolled depth-2 stages."""
+    from birefnet_tpu.configs import ComputeConfig
+
+    cfg = SwinConfig.swin_t()  # stage 2 depth 6 -> scan; others unrolled
+    params = init_swin_params(cfg, seed=7)
+    x = jnp.asarray(np.random.default_rng(1)
+                    .normal(0, 1, (1, 64, 64, 3)).astype(np.float32))
+
+    def make_loss(compute):
+        def loss(p):
+            outs = bswin.swin_forward(p, cfg, x, compute)
+            return sum(jnp.mean(o * o) for o in outs)
+        return loss
+
+    base, gbase = jax.value_and_grad(make_loss(ComputeConfig()))(params)
+    rem, grem = jax.value_and_grad(
+        make_loss(ComputeConfig(remat_blocks=True)))(params)
+    assert abs(float(base) - float(rem)) < 1e-6 * max(1.0, abs(float(base)))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gbase)[0],
+            jax.tree_util.tree_flatten_with_path(grem)[0]):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
 def test_deep_stage_scan_unroll_equivalence():
     """The deep-stage lax.scan partial-unroll knob and the full python
     unroll must be numerically identical to the plain scan (same per-block
