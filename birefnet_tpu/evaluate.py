@@ -16,6 +16,10 @@ results, so a finetune run can be scored without leaving the framework:
 - E-measure     enhanced-alignment measure (Fan et al., IJCAI 2018) on the
                 binarized prediction: adaptive threshold and max over 256
                 thresholds.
+- weighted F    F-beta^w (Margolin et al., CVPR 2014 "How to Evaluate
+                Foreground Maps"): errors are dependency-weighted (nearest
+                -foreground Gaussian pooling) and distance-attenuated
+                before the precision/recall harmonic mean; beta = 1.
 
 Pure numpy on host (evaluation is IO-bound post-processing, not a TPU
 workload); formulas transcribed from the published definitions, with the
@@ -84,6 +88,56 @@ def f_measure(pred: np.ndarray, gt: np.ndarray,
     r = tp / (gt.sum() + _EPS)
     adp_f = float((1 + beta2) * p * r / (beta2 * p + r + _EPS))
     return {"adp": adp_f, "max": max_f}
+
+
+def weighted_f_measure(pred: np.ndarray, gt: np.ndarray,
+                       beta2: float = 1.0) -> float:
+    """F-beta^w (Margolin et al., CVPR 2014), the upstream BiRefNet eval
+    table's weighted F column. Transcribed from the published WFb
+    definition:
+
+    - E = |pred - gt|; background errors are replaced by the error at the
+      NEAREST foreground pixel (bwdist index transform), then pooled with
+      a 7x7 sigma=5 Gaussian (MATLAB fspecial semantics, zero-padded);
+      foreground errors take min(E, pooled E).
+    - Background errors are further attenuated by
+      B = 2 - exp(log(0.5)/5 * dist-to-foreground).
+    - Weighted TP/FP then form precision; weighted recall is
+      1 - mean(Ew over foreground); F = (1+b^2)PR/(b^2*P + R).
+    """
+    from scipy import ndimage
+
+    pred, gt = _validate(pred, gt)
+    if gt.sum() == 0:
+        # The published code requires a non-empty GT; the standard
+        # toolbox convention scores an empty-GT frame 0.
+        return 0.0
+    gtb = gt.astype(bool)
+
+    e = np.abs(pred - gt)
+    # bwdist(gt): distance to (and index of) the nearest FOREGROUND pixel.
+    dst, (iy, ix) = ndimage.distance_transform_edt(
+        ~gtb, return_indices=True)
+    et = e.copy()
+    et[~gtb] = et[iy[~gtb], ix[~gtb]]
+    # fspecial('gaussian', 7, 5), imfilter zero-padded.
+    ax = np.arange(-3, 4, dtype=np.float64)
+    k1 = np.exp(-(ax ** 2) / (2 * 5.0 ** 2))
+    k = np.outer(k1, k1)
+    k /= k.sum()
+    ea = ndimage.convolve(et, k, mode="constant", cval=0.0)
+    min_e_ea = e.copy()
+    sel = gtb & (ea < e)
+    min_e_ea[sel] = ea[sel]
+    b = np.ones_like(gt)
+    b[~gtb] = 2.0 - np.exp(np.log(0.5) / 5.0 * dst[~gtb])
+    ew = min_e_ea * b
+
+    tpw = gt.sum() - ew[gtb].sum()
+    fpw = ew[~gtb].sum()
+    r = 1.0 - ew[gtb].mean()
+    p = tpw / (tpw + fpw + _EPS)
+    return float((1 + beta2) * r * p / (r + beta2 * p + _EPS))
 
 
 # --------------------------- S-measure -------------------------------------
@@ -195,6 +249,7 @@ def evaluate_maps(pairs: Iterable[Tuple[np.ndarray, np.ndarray]]
         f = f_measure(pred, gt)
         e = e_measure(pred, gt)
         vals = {"mae": mae(pred, gt), "s_measure": s_measure(pred, gt),
+                "weighted_f": weighted_f_measure(pred, gt),
                 "adp_f": f["adp"], "max_f": f["max"],
                 "adp_e": e["adp"], "max_e": e["max"]}
         for k, v in vals.items():

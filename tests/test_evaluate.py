@@ -89,6 +89,40 @@ def test_shifted_prediction_ranks_below_good_one():
         assert metric(gt) > metric(close) > metric(far)
 
 
+def test_weighted_f_identities():
+    """F-beta^w (Margolin 2014): perfect = 1, inverted ~ 0, empty GT = 0,
+    and it ranks a near-miss above a far-miss."""
+    gt = _disk()
+    assert abs(ev.weighted_f_measure(gt, gt) - 1.0) < 1e-6
+    assert ev.weighted_f_measure(1.0 - gt, gt) < 0.05
+    assert ev.weighted_f_measure(gt, np.zeros_like(gt)) == 0.0
+    close, far = _disk(cy=34, cx=34), _disk(cy=12, cx=50)
+    assert (ev.weighted_f_measure(gt, gt)
+            > ev.weighted_f_measure(close, gt)
+            > ev.weighted_f_measure(far, gt))
+
+
+def test_weighted_f_rewards_near_foreground_errors():
+    """The dependency weighting's point (Margolin 2014 fig. 3): a false
+    positive NEXT TO the object costs less than the same-size false
+    positive far away (the distance attenuation B < 2 near the object)."""
+    gt = _disk(64, 64, 12)
+    near = gt.copy(); near[32, 45:48] = 1.0   # 3 FPs hugging the boundary
+    far = gt.copy(); far[2, 45:48] = 1.0      # 3 FPs far from the object
+    assert ev.weighted_f_measure(near, gt) > ev.weighted_f_measure(far, gt)
+
+
+def test_weighted_f_regression_pin():
+    """Pinned value on a fixed random case (guards the transcription:
+    index transform, 7x7 sigma-5 Gaussian, B attenuation, beta=1)."""
+    rng = np.random.default_rng(42)
+    gt = _disk(48, 48, 14)
+    pred = np.clip(gt + rng.normal(0, 0.15, gt.shape), 0, 1)
+    got = ev.weighted_f_measure(pred, gt)
+    # pinned 2026-08-19 (update only with a reasoned recomputation)
+    assert abs(got - 0.8762441573216712) < 1e-9, got
+
+
 def test_validate_rejects_bad_inputs():
     with pytest.raises(ValueError, match="same-shape"):
         ev.mae(np.zeros((4, 4)), np.zeros((4, 5)))
@@ -100,8 +134,8 @@ def test_evaluate_maps_and_cli(tmp_path, rng):
     gt = _disk(32, 32, 9)
     pred = np.clip(gt * 0.9 + 0.05, 0, 1)
     scores = ev.evaluate_maps([(pred, gt), (gt, gt)])
-    assert set(scores) == {"mae", "s_measure", "adp_f", "max_f",
-                           "adp_e", "max_e"}
+    assert set(scores) == {"mae", "s_measure", "weighted_f", "adp_f",
+                           "max_f", "adp_e", "max_e"}
     assert scores["mae"] < 0.1 and scores["max_f"] > 0.9
 
     pd, gd = tmp_path / "pred", tmp_path / "gt"
