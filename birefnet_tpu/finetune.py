@@ -118,6 +118,9 @@ def main(argv=None) -> int:
                              "extra forward)")
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--backbone-lr-scale", type=float, default=1.0,
+                        help="LR multiplier for the Swin backbone vs the "
+                             "decoder (0 freezes the backbone)")
     parser.add_argument("--weight-decay", type=float, default=1e-2)
     parser.add_argument("--schedule", choices=("constant", "cosine"),
                         default="constant",
@@ -163,7 +166,8 @@ def main(argv=None) -> int:
                              schedule=args.schedule,
                              warmup_steps=args.warmup_steps,
                              total_steps=args.steps,
-                             accum_steps=args.accum_steps)
+                             accum_steps=args.accum_steps,
+                             backbone_lr_scale=args.backbone_lr_scale)
 
     pairs = find_pairs(args.images_dir, args.masks_dir)
     print(f"{len(pairs)} image/mask pairs; batch {args.batch}, "

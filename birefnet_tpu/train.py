@@ -192,6 +192,11 @@ class TrainConfig:
     # activation wall. With equal microbatches the mean-of-means loss
     # equals the full-batch mean exactly (up to f32 reassociation).
     accum_steps: int = 1
+    # LR multiplier for the Swin backbone (the params["bb"] subtree) vs
+    # the decoder/head — the standard finetuning shape for a pretrained
+    # backbone. 1.0 = uniform (single optimizer, default); 0.0 = freeze
+    # the backbone entirely (no updates, no moment state).
+    backbone_lr_scale: float = 1.0
 
 
 def lr_schedule(tcfg: TrainConfig):
@@ -214,11 +219,29 @@ def lr_schedule(tcfg: TrainConfig):
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    def adamw(scale: float = 1.0):
+        sched = lr_schedule(tcfg)
+        lr = sched if scale == 1.0 else (lambda step: sched(step) * scale)
+        return optax.adamw(lr, b1=tcfg.b1, b2=tcfg.b2,
+                           weight_decay=tcfg.weight_decay)
+
+    clip = optax.clip_by_global_norm(tcfg.grad_clip)
+    if tcfg.backbone_lr_scale == 1.0:
+        return optax.chain(clip, adamw())
+
+    # Split optimizer: the backbone ("bb" subtree) trains at a scaled LR
+    # (0 = frozen: no updates, no AdamW moments for those leaves).
+    bb_tx = (optax.set_to_zero() if tcfg.backbone_lr_scale == 0.0
+             else adamw(tcfg.backbone_lr_scale))
+
+    def labels(params):
+        def lab(path, _):
+            top = getattr(path[0], "key", None) if path else None
+            return "bb" if top == "bb" else "rest"
+        return jax.tree_util.tree_map_with_path(lab, params)
+
     return optax.chain(
-        optax.clip_by_global_norm(tcfg.grad_clip),
-        optax.adamw(lr_schedule(tcfg), b1=tcfg.b1, b2=tcfg.b2,
-                    weight_decay=tcfg.weight_decay),
-    )
+        clip, optax.multi_transform({"bb": bb_tx, "rest": adamw()}, labels))
 
 
 def init_train_state(params, tcfg: TrainConfig = TrainConfig()) -> TrainState:

@@ -101,6 +101,39 @@ def test_lr_schedules():
         train.lr_schedule(train.TrainConfig(schedule="linear"))
 
 
+def test_backbone_lr_scale():
+    """backbone_lr_scale routes params['bb'] through a scaled-LR AdamW
+    (0 = frozen, no updates) while the rest trains at full LR. Toy tree —
+    the routing is structural, not model-specific."""
+    import optax
+
+    params = {"bb": {"w": jnp.ones((4,))}, "decoder": {"w": jnp.ones((4,))}}
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+
+    def one_update(scale):
+        tcfg = train.TrainConfig(learning_rate=1e-2, weight_decay=0.0,
+                                 backbone_lr_scale=scale)
+        opt = train.make_optimizer(tcfg)
+        upd, _ = opt.update(grads, opt.init(params), params)
+        return optax.apply_updates(params, upd)
+
+    frozen = one_update(0.0)
+    np.testing.assert_array_equal(np.asarray(frozen["bb"]["w"]), 1.0)
+    assert not np.allclose(np.asarray(frozen["decoder"]["w"]), 1.0)
+
+    half = one_update(0.5)
+    d_bb = 1.0 - np.asarray(half["bb"]["w"])
+    d_dec = 1.0 - np.asarray(half["decoder"]["w"])
+    # identical grads through separate AdamWs: bb step = scale * dec step
+    np.testing.assert_allclose(d_bb, 0.5 * d_dec, rtol=1e-5)
+    assert d_dec.min() > 0
+
+    uniform = one_update(1.0)  # single-optimizer fast path
+    np.testing.assert_allclose(np.asarray(uniform["bb"]["w"]),
+                               np.asarray(uniform["decoder"]["w"]),
+                               rtol=1e-7)
+
+
 def test_train_state_save_resume_roundtrip(tmp_path):
     params = {"blk": {"kernel": jnp.arange(12.0).reshape(3, 4),
                       "bias": jnp.ones((4,))}}
