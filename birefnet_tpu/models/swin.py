@@ -144,8 +144,7 @@ def swin_block_forward(
             wp = w + (-w) % window_size
             x = jnp.pad(x, ((0, 0), (p0, hp - h - p0), (p0, wp - w - p0),
                             (0, 0)))
-            mask = jnp.asarray(
-                W.sw_msa_mask_offset(hp, wp, window_size, shift_size))
+            mask = W.sw_msa_mask_offset_dev(hp, wp, window_size, shift_size)
             x = fused_block_attn.fused_window_block_attention(
                 x, params["norm1"], params["attn"], window_size, 0,
                 num_heads, mask, h, w, residual=True, origin=p0)
@@ -240,8 +239,12 @@ def basic_layer_forward(
     hp = -(-h // window_size) * window_size
     wp = -(-w // window_size) * window_size
 
-    # Trace-time constant SW-MSA mask [nW, N, N] (reference: src/swin.rs:603-655).
-    attn_mask = jnp.asarray(W.sw_msa_mask(hp, wp, window_size, shift_size))
+    # SW-MSA mask [nW, N, N] (reference: src/swin.rs:603-655), built from
+    # iota ON DEVICE: numerically identical to the numpy trace-time constant
+    # but with zero literal payload in the program text — the baked masks
+    # were ~64% of the traced MLIR and set the remote-compile size wall for
+    # the training step (see window.py::sw_msa_mask_dev).
+    attn_mask = W.sw_msa_mask_dev(hp, wp, window_size, shift_size)
 
     if depth > 2 and depth % 2 == 0 and not compute.unroll_deep_stage:
         # Deep stages (Swin-L stage 2: 18 blocks) run as lax.scan over

@@ -8,9 +8,14 @@ partition/reverse (reference: src/swin.rs:446-475), cyclic roll
 
 TPU-native notes:
 - All shapes are static under jit, so the attention mask and relative-position
-  index are computed in numpy at *trace* time and baked into the compiled
-  program as constants — the reference rebuilds the mask on the host every
-  forward (reference: src/swin.rs:584); here it costs nothing at runtime.
+  index are trace-time-determined — the reference rebuilds the mask on the
+  host every forward (reference: src/swin.rs:584). The numpy builders below
+  bake the mask as a program literal (kept for tests and small callers); the
+  `*_dev` variants build the identical values from iota ON DEVICE, which the
+  model uses so the program text stays small (the baked [nW, ws², ws²] f32
+  masks were ~64% of the traced MLIR and set this environment's
+  remote-compile size wall for the training step — one cheap elementwise
+  pass per program replaces them).
 - The cyclic shift is `jnp.roll`, which XLA lowers to two slices + concat —
   identical math to the reference's narrow+cat `roll_2d`.
 
@@ -120,6 +125,60 @@ def sw_msa_mask_offset(hp: int, wp: int, window_size: int,
     g = m.reshape(hp // ws, wp // ws, n, n)
     g = np.roll(g, (1, 1), axis=(0, 1))
     return np.ascontiguousarray(g.reshape(-1, n, n))
+
+
+def _sw_msa_region_ids_dev(hp: int, wp: int, window_size: int,
+                           shift_size: int) -> jax.Array:
+    """[nW, ws*ws] int32 region ids of the 9-region SW-MSA fill, built from
+    iota ON DEVICE (traced ops, zero literal payload in the program).
+
+    Row/col region index is 0 / 1 / 2 for the slices
+    (0, d-ws) / (d-ws, d-shift) / (d-shift, d) — exactly the reference's
+    host fill order (reference: src/swin.rs:603-655), so
+    id = 3*row_region + col_region reproduces its cnt values.
+    """
+    ws = window_size
+    row = jnp.arange(hp, dtype=jnp.int32)
+    col = jnp.arange(wp, dtype=jnp.int32)
+    rr = ((row >= hp - ws).astype(jnp.int32)
+          + (row >= hp - shift_size).astype(jnp.int32))
+    cc = ((col >= wp - ws).astype(jnp.int32)
+          + (col >= wp - shift_size).astype(jnp.int32))
+    img = rr[:, None] * 3 + cc[None, :]  # [hp, wp]
+    m = img.reshape(hp // ws, ws, wp // ws, ws)
+    return m.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+
+
+def _region_ids_to_mask(m: jax.Array) -> jax.Array:
+    diff = m[:, None, :] - m[:, :, None]  # mask1 - mask2 (src/swin.rs:645-647)
+    return jnp.where(diff != 0, jnp.float32(-100.0), jnp.float32(0.0))
+
+
+def sw_msa_mask_dev(hp: int, wp: int, window_size: int,
+                    shift_size: int) -> jax.Array:
+    """Traced equivalent of sw_msa_mask (bit-identical values).
+
+    The numpy version bakes an [nW, ws², ws²] f32 literal into the program
+    — 40 MB at 1024² stage 0, and the dominant share (~64% measured at
+    256²) of the traced-MLIR text that the remote-compile service must
+    ingest. Building it from iota keeps the program text small (lifting
+    the training-step remote-compile size wall) at a trace-time-constant
+    compute cost of one cheap elementwise pass per program.
+    """
+    return _region_ids_to_mask(
+        _sw_msa_region_ids_dev(hp, wp, window_size, shift_size))
+
+
+def sw_msa_mask_offset_dev(hp: int, wp: int, window_size: int,
+                           shift_size: int) -> jax.Array:
+    """Traced equivalent of sw_msa_mask_offset (bit-identical values):
+    the cyclic mask with the window grid rolled by one (see
+    sw_msa_mask_offset for the derivation)."""
+    ws = window_size
+    m = _sw_msa_region_ids_dev(hp, wp, ws, shift_size)
+    g = m.reshape(hp // ws, wp // ws, ws * ws)
+    g = jnp.roll(g, (1, 1), axis=(0, 1))
+    return _region_ids_to_mask(g.reshape(-1, ws * ws))
 
 
 def pad_to_multiple(x: jax.Array, multiple: int) -> jax.Array:

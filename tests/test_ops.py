@@ -97,6 +97,26 @@ def test_sw_msa_mask_values():
     assert (m[3] == -100.0).any()
 
 
+def test_sw_msa_mask_dev_matches_numpy():
+    # The on-device (iota-built) mask builders must be bit-identical to the
+    # numpy trace-time-constant versions at every shipped geometry — they
+    # exist only to remove the mask literals from the program text (the
+    # remote-compile size wall), not to change a single value.
+    from birefnet_tpu.ops.window import (
+        sw_msa_mask_dev, sw_msa_mask_offset, sw_msa_mask_offset_dev)
+    geoms = [(264, 264, 12, 6), (132, 132, 12, 6), (72, 72, 12, 6),
+             (36, 36, 12, 6), (24, 24, 12, 6), (28, 28, 7, 3),
+             (36, 48, 12, 6)]
+    for hp, wp, ws, shift in geoms:
+        np.testing.assert_array_equal(
+            np.asarray(sw_msa_mask_dev(hp, wp, ws, shift)),
+            sw_msa_mask(hp, wp, ws, shift), err_msg=f"{(hp, wp, ws, shift)}")
+        np.testing.assert_array_equal(
+            np.asarray(sw_msa_mask_offset_dev(hp, wp, ws, shift)),
+            sw_msa_mask_offset(hp, wp, ws, shift),
+            err_msg=f"offset {(hp, wp, ws, shift)}")
+
+
 def test_window_attention_matches_torch(rng):
     b_, heads, n, d = 8, 3, 16, 8
     nw = 4
