@@ -98,11 +98,17 @@ def deform_conv2d(
         in_b = (cy >= 0) & (cy < h) & (cx >= 0) & (cx < w)
         idx_list.append(jnp.clip(cy, 0, h - 1) * w + jnp.clip(cx, 0, w - 1))
         wt_list.append(wy * wx * (valid & in_b).astype(jnp.float32))
+    # Merged [K*4] trailing axis (not [K, 4]): a 4-wide minor axis pads to
+    # 128 lanes in the TPU T(8,128) layout — 36.6x memory expansion on the
+    # saved scan inputs when this path is differentiated (measured 2x1.77 GB
+    # at the 1024^2 dec1 site, worker job_207). K*4 (e.g. 196 -> 256 lanes)
+    # pads ~1.3x instead; the body reshapes per-block in VMEM-sized pieces.
     idx = jnp.stack(idx_list, axis=-1)  # [B, P, K, 4] int32
     wts = jnp.stack(wt_list, axis=-1)   # [B, P, K, 4] f32
     # Fold the modulation mask into the corner weights.
     wts = wts * mask.astype(jnp.float32).reshape(b, p, k, 1)
-    wts = wts.astype(compute_dtype)
+    idx = idx.reshape(b, p, k * 4)
+    wts = wts.astype(compute_dtype).reshape(b, p, k * 4)
 
     x_flat = x.reshape(b, h * w, c)
     w_kc = weight.reshape(k * c, out_c)
@@ -114,19 +120,20 @@ def deform_conv2d(
     nb = -(-p // pb)
     p_pad = nb * pb
     if p_pad != p:
-        idx = jnp.pad(idx, ((0, 0), (0, p_pad - p), (0, 0), (0, 0)))
-        wts = jnp.pad(wts, ((0, 0), (0, p_pad - p), (0, 0), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, p_pad - p), (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, p_pad - p), (0, 0)))
 
-    idx_blocks = idx.reshape(b, nb, pb, k, 4).transpose(1, 0, 2, 3, 4)
-    wts_blocks = wts.reshape(b, nb, pb, k, 4).transpose(1, 0, 2, 3, 4)
+    idx_blocks = idx.reshape(b, nb, pb, k * 4).transpose(1, 0, 2, 3)
+    wts_blocks = wts.reshape(b, nb, pb, k * 4).transpose(1, 0, 2, 3)
 
     def block_body(carry, inp):
-        idx_b, wts_b = inp  # [B, pb, K, 4]
+        idx_b, wts_b = inp  # [B, pb, K*4]
         flat_idx = idx_b.reshape(b, pb * k * 4)
         g = jnp.take_along_axis(x_flat, flat_idx[..., None], axis=1)
         g = g.reshape(b, pb, k, 4, c)
         # Bilinear + modulation reduction over the 4 corners.
-        cols = jnp.einsum("bpkic,bpki->bpkc", g, wts_b,
+        cols = jnp.einsum("bpkic,bpki->bpkc", g,
+                          wts_b.reshape(b, pb, k, 4),
                           precision=lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
         cols = cols.astype(compute_dtype).reshape(b, pb, k * c)
@@ -139,7 +146,14 @@ def deform_conv2d(
         _, out = block_body(None, (idx_blocks[0], wts_blocks[0]))
         out = out[:, :p]
     else:
-        _, out_blocks = lax.scan(block_body, None, (idx_blocks, wts_blocks))
+        # Scan-over-remat: without the checkpoint, the scan's VJP stacks
+        # every iteration's gather/cols residuals — [nb, B, pb, K, 4, C]
+        # alone was a 6.19 GB allocation at the 1024^2 dec1 site (job_207,
+        # HBM OOM at 18.6/15.75 GB). Rematerializing the body makes the
+        # backward re-gather per block instead; forward-only tracing is
+        # unaffected.
+        body = jax.checkpoint(block_body, prevent_cse=False)
+        _, out_blocks = lax.scan(body, None, (idx_blocks, wts_blocks))
         out = out_blocks.transpose(1, 0, 2, 3).reshape(b, p_pad, out_c)[:, :p]
 
     out = out.reshape(b, oh, ow, out_c)

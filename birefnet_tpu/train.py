@@ -257,6 +257,7 @@ def make_train_step(
     in_sharding: Optional[jax.sharding.NamedSharding] = None,
     donate: bool = True,
     param_sharding=None,
+    split_update: Optional[bool] = None,
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple]:
     """Build the jittable full train step.
 
@@ -275,12 +276,23 @@ def make_train_step(
     keeps the new state in the FSDP layout (without it, jit's output
     sharding propagation may silently replicate the updated params).
     XLA inserts all collectives from these annotations.
+
+    split_update: compile fwd+bwd and the AdamW update as TWO programs
+    (one extra dispatch per step, identical math) instead of one. This
+    environment's remote-compile helper is memory-capped and gets
+    SIGKILLed building the fused fwd+bwd+update program above ~256²
+    (worker job_203/205: 384² fused dies, 512² grads-only compiles in
+    546 s) — splitting moves the wall to the fwd+bwd program alone, which
+    admits ≥512². None = auto: split at sizes ≥ 384², fuse below (the
+    measured boundary).
     """
     compute = validate_train_compute(compute)
     opt = make_optimizer(tcfg)
     accum = tcfg.accum_steps
     if accum < 1:
         raise ValueError(f"accum_steps must be >= 1; got {accum}")
+    if split_update is None:
+        split_update = max(cfg.size) >= 384
 
     def loss_fn(params, x, labels):
         logits = birefnet.forward_logits(params, cfg, x, compute)
@@ -322,16 +334,7 @@ def make_train_step(
         inv = 1.0 / accum
         return loss_sum * inv, jax.tree.map(lambda g: g * inv, gsum)
 
-    # Donating the state lets XLA update params/moments in place (the
-    # state is dead after the call in a training loop) — saves a
-    # params+moments-sized HBM footprint per step. `donate=False` for
-    # callers that re-feed the same state (benchmark timing loops,
-    # what-if steps): donated input buffers are INVALID after the call.
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: TrainState, x: jax.Array, labels: jax.Array):
-        if in_sharding is not None:
-            x = jax.lax.with_sharding_constraint(x, in_sharding)
-        loss, grads = value_and_grad_accum(state.params, x, labels)
+    def apply_update(state: TrainState, grads, loss):
         if param_sharding is not None:
             # Pin the FSDP layout on the gradients (reduce-scatter here,
             # not all-reduce) and on the updated params — without this,
@@ -346,5 +349,42 @@ def make_train_step(
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
         return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    if split_update:
+        # Two programs: grads (fwd+bwd) and the AdamW update. The update
+        # program never sees image-sized tensors, so only the grads
+        # program grows with resolution. Params are NOT donated to the
+        # grads program (the update still reads them); the state IS
+        # donated to the update program (params/moments update in place).
+        def grad_fn(params, x, labels):
+            if in_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, in_sharding)
+            loss, grads = value_and_grad_accum(params, x, labels)
+            if param_sharding is not None:
+                grads = jax.lax.with_sharding_constraint(
+                    grads, param_sharding)
+            return loss, grads
+
+        grad_jit = jax.jit(grad_fn)
+        update_jit = jax.jit(apply_update,
+                             donate_argnums=(0, 1) if donate else ())
+
+        def step(state: TrainState, x: jax.Array, labels: jax.Array):
+            loss, grads = grad_jit(state.params, x, labels)
+            return update_jit(state, grads, loss)
+
+        return step
+
+    # Donating the state lets XLA update params/moments in place (the
+    # state is dead after the call in a training loop) — saves a
+    # params+moments-sized HBM footprint per step. `donate=False` for
+    # callers that re-feed the same state (benchmark timing loops,
+    # what-if steps): donated input buffers are INVALID after the call.
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: TrainState, x: jax.Array, labels: jax.Array):
+        if in_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, in_sharding)
+        loss, grads = value_and_grad_accum(state.params, x, labels)
+        return apply_update(state, grads, loss)
 
     return step

@@ -209,6 +209,43 @@ def test_deform_conv_local_clamps_large_offsets(rng):
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
+def test_deform_conv_scan_remat_grads_match_direct(rng):
+    """The blocked-im2col scan path (nb > 1) is wrapped in jax.checkpoint
+    so its VJP re-gathers per block instead of stacking every iteration's
+    residuals (a 6.19 GB allocation at the 1024² dec1 site — HBM OOM on a
+    16 GB chip, worker job_207). Values must be bitwise equal to the
+    single-block path and grads equal to f32 reassociation roundoff."""
+    import birefnet_tpu.ops.deform_conv as dc
+    b, h, w, cin, cout, kh = 1, 24, 24, 8, 16, 3
+    k = kh * kh
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+    off = jnp.asarray(
+        rng.normal(scale=2.0, size=(b, h, w, 2 * k)).astype(np.float32))
+    m = jnp.asarray(
+        rng.uniform(0.2, 1.8, size=(b, h, w, k)).astype(np.float32))
+    wt = jnp.asarray(
+        rng.normal(size=(kh, kh, cin, cout)).astype(np.float32))
+
+    def run(budget):
+        old = dc._IM2COL_BUDGET
+        dc._IM2COL_BUDGET = budget
+        try:
+            def f(x, off, m, wt):
+                return jnp.sum(dc.deform_conv2d(x, off, m, wt,
+                                                padding=1) ** 2)
+            return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(x, off, m, wt)
+        finally:
+            dc._IM2COL_BUDGET = old
+
+    v1, g1 = run(10 ** 9)     # nb == 1: direct block_body call
+    v2, g2 = run(8 * 1024)    # small budget forces the scanned+remat path
+    assert float(v1) == float(v2), (v1, v2)
+    for a, b_ in zip(g1, g2):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        rel = float(jnp.max(jnp.abs(a - b_))) / scale
+        assert rel < 1e-6, (rel, a.shape)
+
+
 def test_deform_conv_zero_offset_equals_regular_conv(rng):
     """With zero offsets and unit mask, deform conv == regular conv."""
     b, h, w, cin, cout, k = 1, 8, 8, 4, 3, 3

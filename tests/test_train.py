@@ -205,6 +205,45 @@ def test_train_step_full_model():
     assert moved, "no gradient reached any deformable offset conv"
 
 
+def test_split_update_matches_fused():
+    """split_update=True (grads and AdamW update as two programs — the
+    route past the remote-compile helper's memory cap at ≥384², see
+    make_train_step) computes the same step as the fused program."""
+    cfg = bt.BiRefNetConfig.swin_l()
+    params = bt.init_params(cfg, seed=1)
+    tcfg = train.TrainConfig(learning_rate=1e-4)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(
+        (rng.random(size=(1, 64, 64)) > 0.5).astype(np.float32))
+
+    fused = train.make_train_step(cfg, bt.ComputeConfig(), tcfg,
+                                  donate=False, split_update=False)
+    split = train.make_train_step(cfg, bt.ComputeConfig(), tcfg,
+                                  donate=False, split_update=True)
+    s1, m1 = fused(train.init_train_state(params, tcfg), x, labels)
+    s2, m2 = split(train.init_train_state(params, tcfg), x, labels)
+
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert abs(l1 - l2) < 1e-6 * max(1.0, abs(l1)), (l1, l2)
+    g1, g2 = float(m1["grad_norm"]), float(m2["grad_norm"])
+    assert abs(g1 - g2) <= 1e-4 * max(1.0, g1), (g1, g2)
+    worst = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        s1.params, s2.params)))
+    assert worst < 1e-5, worst
+    assert int(s2.step) == 1
+
+    # Auto default: fused below the measured 384² wall, split at/above it
+    # (jit objects expose .lower; the split step is a plain function).
+    small = train.make_train_step(
+        dataclasses.replace(cfg, size=(256, 256)), bt.ComputeConfig(), tcfg)
+    big = train.make_train_step(
+        dataclasses.replace(cfg, size=(384, 384)), bt.ComputeConfig(), tcfg)
+    assert hasattr(small, "lower") and not hasattr(big, "lower")
+
+
 def test_grad_accum_matches_full_batch():
     """accum_steps=2 on a batch of 2 == the plain full-batch step: equal
     microbatches make the mean-of-means loss exact, and the single AdamW
