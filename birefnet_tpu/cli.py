@@ -66,6 +66,15 @@ def main(argv=None) -> int:
                              "offsets clamped +-4 px, ~4x faster on TPU "
                              "(MXU one-hot sampler); regular = "
                              "candle-CPU-compat plain conv")
+    parser.add_argument("--backbone",
+                        choices=("swin_v1_t", "swin_v1_s", "swin_v1_b",
+                                 "swin_v1_l"),
+                        default="swin_v1_l",
+                        help="Swin backbone preset (default: swin_v1_l, the "
+                             "published ZhengPeng7 checkpoint's). Non-L "
+                             "variants use the generic channel derivation "
+                             "(BiRefNetConfig.for_backbone) and need a "
+                             "matching checkpoint")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU execution")
     args = parser.parse_args(argv)
@@ -101,7 +110,7 @@ def main(argv=None) -> int:
         deform_mode=args.deform_mode,
         unroll_deep_stage=on_tpu,
     )
-    cfg = bt.BiRefNetConfig.swin_l()
+    cfg = bt.BiRefNetConfig.for_backbone(args.backbone)
     if args.size != 1024:
         import dataclasses
         cfg = dataclasses.replace(cfg, size=(args.size, args.size))

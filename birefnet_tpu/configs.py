@@ -71,6 +71,17 @@ class DecoderConfig:
         return in_channels // 4 if self.inter_channels_adaptive else 64
 
 
+# Backbone name -> SwinConfig preset (reference: src/swin.rs:27-80; the
+# name strings follow the reference's "swin_v1_l" convention,
+# reference: src/birefnet.rs:39).
+_SWIN_BACKBONES = {
+    "swin_v1_t": SwinConfig.swin_t,
+    "swin_v1_s": SwinConfig.swin_s,
+    "swin_v1_b": SwinConfig.swin_b,
+    "swin_v1_l": SwinConfig.swin_l,
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class BiRefNetConfig:
     """Top-level BiRefNet configuration (reference: src/birefnet.rs:13-67)."""
@@ -90,9 +101,56 @@ class BiRefNetConfig:
         (reference: src/birefnet.rs:64-66)."""
         return BiRefNetConfig()
 
+    @staticmethod
+    def for_backbone(backbone: str) -> "BiRefNetConfig":
+        """Full-model config for any Swin preset backbone.
+
+        The reference carries the backbone NAME in its config but always
+        instantiates swin_l (reference: src/birefnet.rs:24,391), leaving
+        its swin_t/s/b presets (reference: src/swin.rs:27-66) reachable
+        only standalone. Here the name is honored: the decoder/squeeze
+        channel plan derives from the backbone's stage channels through
+        the same formulas the reference uses for swin_l
+        (reference: src/birefnet.rs:50-61,176-238), giving the
+        upstream-"lite"-style model family as first-class variants.
+        cxt follows the swin_l pattern (the first three stage channels —
+        reference: src/birefnet.rs:42). The resulting checkpoint schema is
+        this framework's generic derivation, self-consistent under
+        load/export (tests/test_variants.py); only the swin_l flagship
+        schema is pinned to the published ZhengPeng7 checkpoint.
+        """
+        swin = _SWIN_BACKBONES[backbone]()
+        ch = swin.stage_channels()
+        return BiRefNetConfig(backbone=backbone, backbone_channels=ch,
+                              cxt=ch[:3])
+
+    @staticmethod
+    def swin_t() -> "BiRefNetConfig":
+        return BiRefNetConfig.for_backbone("swin_v1_t")
+
+    @staticmethod
+    def swin_s() -> "BiRefNetConfig":
+        return BiRefNetConfig.for_backbone("swin_v1_s")
+
+    @staticmethod
+    def swin_b() -> "BiRefNetConfig":
+        return BiRefNetConfig.for_backbone("swin_v1_b")
+
     def swin_config(self) -> SwinConfig:
-        # The reference always instantiates swin_l (reference: src/birefnet.rs:391).
-        return SwinConfig.swin_l()
+        """Resolve the backbone preset by name (default swin_v1_l — the
+        only backbone the reference ever instantiates,
+        reference: src/birefnet.rs:391)."""
+        if self.backbone not in _SWIN_BACKBONES:
+            raise ValueError(
+                f"unknown backbone {self.backbone!r}; "
+                f"known: {sorted(_SWIN_BACKBONES)}")
+        swin = _SWIN_BACKBONES[self.backbone]()
+        if tuple(self.backbone_channels) != swin.stage_channels():
+            raise ValueError(
+                f"backbone_channels {self.backbone_channels} do not match "
+                f"{self.backbone}'s stage channels {swin.stage_channels()}; "
+                f"use BiRefNetConfig.for_backbone({self.backbone!r})")
+        return swin
 
     def lateral_channels(self) -> Tuple[int, ...]:
         """Effective channels after mul_scl_ipt doubling

@@ -100,6 +100,13 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint", default=None,
                         help="initial weights (default: random init)")
     parser.add_argument("--size", type=int, default=1024)
+    parser.add_argument("--backbone",
+                        choices=("swin_v1_t", "swin_v1_s", "swin_v1_b",
+                                 "swin_v1_l"),
+                        default="swin_v1_l",
+                        help="Swin backbone preset; non-L variants train "
+                             "the generic-derivation model family "
+                             "(BiRefNetConfig.for_backbone)")
     parser.add_argument("--batch", type=int, default=1,
                         help="frames per optimizer step (with --accum-steps "
                              "k this is the EFFECTIVE batch; k microbatches "
@@ -150,7 +157,7 @@ def main(argv=None) -> int:
     from . import pipeline, train
     from .configs import BiRefNetConfig, ComputeConfig
 
-    cfg = BiRefNetConfig.swin_l()
+    cfg = BiRefNetConfig.for_backbone(args.backbone)
     if cfg.size != (args.size, args.size):
         import dataclasses
         cfg = dataclasses.replace(cfg, size=(args.size, args.size))

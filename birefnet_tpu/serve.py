@@ -33,6 +33,12 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint", required=False, default=None)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--size", type=int, default=1024)
+    parser.add_argument("--backbone",
+                        choices=("swin_v1_t", "swin_v1_s", "swin_v1_b",
+                                 "swin_v1_l"),
+                        default="swin_v1_l",
+                        help="Swin backbone preset (non-L variants need a "
+                             "matching checkpoint)")
     parser.add_argument("--dtype", choices=("float32", "bfloat16"),
                         default="bfloat16")
     parser.add_argument("--deform-mode",
@@ -97,7 +103,7 @@ def main(argv=None) -> int:
     from birefnet_tpu.utils import native
 
     import dataclasses
-    cfg = dataclasses.replace(bt.BiRefNetConfig.swin_l(),
+    cfg = dataclasses.replace(bt.BiRefNetConfig.for_backbone(args.backbone),
                               size=(args.size, args.size))
     on_tpu = jax.default_backend() == "tpu"
     compute = bt.ComputeConfig(

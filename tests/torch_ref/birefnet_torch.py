@@ -416,11 +416,17 @@ class Decoder(nn.Module):
     def __init__(self, lat=(384, 768, 1536, 3072)):
         super().__init__()
         ipt_out = (48, 96, 192, 384, 384)
+        # ipt_blk3/4/5 input channels are the image2patches channel counts
+        # 3*(grid)^2 for grids 8/16/32 — fixed by the patching scheme,
+        # independent of the backbone. For swin_l these coincide with the
+        # reference's lat-derived formula (lat[0]//2, lat[2]//2, lat[3]);
+        # the patch-derived values are the runtime-consistent ones for
+        # other backbones (see configs.BiRefNetConfig.ipt_in_channels).
         self.ipt_blk1 = SimpleConvs(3, ipt_out[0])
         self.ipt_blk2 = SimpleConvs(ipt_out[0], ipt_out[1])
-        self.ipt_blk3 = SimpleConvs(lat[0] // 2, ipt_out[2])
-        self.ipt_blk4 = SimpleConvs(lat[2] // 2, ipt_out[3])
-        self.ipt_blk5 = SimpleConvs(lat[3], ipt_out[4])
+        self.ipt_blk3 = SimpleConvs(192, ipt_out[2])
+        self.ipt_blk4 = SimpleConvs(768, ipt_out[3])
+        self.ipt_blk5 = SimpleConvs(3072, ipt_out[4])
 
         dec_out = (lat[2], lat[1], lat[0], lat[0] // 2)
         self.decoder_block4 = BasicDecBlk(lat[3] + ipt_out[4], dec_out[0])
@@ -474,11 +480,15 @@ class Decoder(nn.Module):
 class BiRefNetTorch(nn.Module):
     """Full model; state_dict keys match the ZhengPeng7/BiRefNet checkpoint."""
 
-    def __init__(self):
+    def __init__(self, embed_dim=192, depths=(2, 2, 18, 2),
+                 num_heads=(6, 12, 24, 48), window_size=12):
         super().__init__()
-        self.bb = SwinTransformer()
-        self.squeeze_module = nn.Sequential(BasicDecBlk(5760, 3072))
-        self.decoder = Decoder()
+        self.bb = SwinTransformer(embed_dim, depths, num_heads, window_size)
+        ch = tuple(embed_dim << i for i in range(len(depths)))
+        lat = tuple(2 * c for c in ch)  # mul_scl_ipt doubling
+        x4_ch = lat[3] + 2 * sum(ch[:3])  # cxt concat (swin_l: 5760)
+        self.squeeze_module = nn.Sequential(BasicDecBlk(x4_ch, lat[3]))
+        self.decoder = Decoder(lat)
 
     def forward_logits(self, x):
         h, w = x.shape[2:]
